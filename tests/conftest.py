@@ -1,0 +1,38 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+TPU hardware in CI is a single chip; multi-chip sharding is validated on the
+XLA CPU backend with 8 virtual devices (the standard JAX pattern for testing
+pjit/shard_map layouts without a pod).
+
+Env vars must be set before jax initialises, hence the top-of-file placement.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+GOLDEN = os.path.join(os.path.dirname(__file__), os.pardir, "golden")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def golden_path(name: str) -> str:
+    return os.path.abspath(os.path.join(GOLDEN, name))
+
+
+def require_golden(name: str):
+    path = golden_path(name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} not generated (run tools/make_golden.py)")
+    return path
