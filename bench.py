@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 64->256 SR patches/sec/chip through the full serving
+step (normalise + bicubic x4 + ModelB U-Net forward + de-normalise, bf16).
+
+Prints ONE JSON line:
+  {"metric": "sr_patches_per_sec_per_chip", "value": N, "unit": "patches/s",
+   "vs_baseline": N / 10000}
+
+Baseline: the BASELINE.json north-star of 10k patches/sec/chip on TPU v5e
+(the reference itself runs batch-1 on CPU/GPU with per-block host round-trips;
+see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.inference import make_sr_step
+    from sifsr_tpu.models.unet import ModelB2
+
+    model = ModelB2()
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=295.0, std_lst=10.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
+    sr_step = make_sr_step(model, stats)
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    best_batch = 0
+    for batch in (256, 512, 1024):
+        lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
+        ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
+
+        # warmup (compile) — force execution with a host fetch, since
+        # block_until_ready does not synchronise through the axon tunnel
+        float(sr_step(variables, lst, ndvi).mean())
+
+        n_iters = 10
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(n_iters):
+            # chain a data dependency so every step really executes
+            acc = acc + sr_step(variables, lst, ndvi).mean()
+        float(acc)
+        dt = time.perf_counter() - t0
+        pps = batch * n_iters / dt
+        if pps > best:
+            best, best_batch = pps, batch
+
+    print(json.dumps({
+        "metric": "sr_patches_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(best / 10000.0, 3),
+        "batch": best_batch,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Whole-granule tiled SR inference — the framework's serving hot path.
+
+The reference predicts a 1200x1200 LST granule block-by-block at batch size 1
+on the host (predict.py:84-103: ~324 sequential forward passes with per-block
+cv2 upsampling and numpy scatter). Here the granule is processed as a handful
+of large batched device steps:
+
+1. host: tile the granule into 64x64 LST / 256x256 NDVI blocks (one reshape);
+2. device, one jit: normalise -> bicubic x4 (matmul) -> U-Net forward ->
+   de-normalise, over a whole batch of blocks at once;
+3. host: scatter the SR blocks back into the 4800x4800 mosaic (one reshape).
+
+Block-validity semantics: the reference's cloud/sea skip condition
+(predict.py:95, sum(lst==0) <= 64²) is vacuously true, so it SR-processes
+every full block; ``coverage`` reproduces that by default (1.0) but a real
+threshold (e.g. 0.05 = skip blocks with >5% invalid pixels) is available.
+Invalid blocks still run through the batch (static shapes) — their output is
+masked out of the mosaic, so there is no data-dependent shape anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sifsr_tpu.data.statistics import Statistics
+from sifsr_tpu.models.unet import ModelB2
+from sifsr_tpu.ops.resize import upsample_bicubic
+
+__all__ = ["tile_granule", "untile_mosaic", "make_sr_step", "predict_granule"]
+
+
+def tile_granule(lst: np.ndarray, ndvi: np.ndarray, window: int = 64, factor: int = 4):
+    """(H, W) LST + (fH, fW) NDVI -> (N, window, window), (N, f·window, f·window).
+
+    Blocks are row-major; partial edge blocks are dropped (granules are exact
+    multiples in practice: 1200/64 -> 18x18 = 324 usable blocks like the
+    reference's loop)."""
+    gh, gw = lst.shape[0] // window, lst.shape[1] // window
+    lst = lst[: gh * window, : gw * window]
+    fwin = window * factor
+    ndvi = ndvi[: gh * fwin, : gw * fwin]
+    lst_blocks = lst.reshape(gh, window, gw, window).transpose(0, 2, 1, 3).reshape(-1, window, window)
+    ndvi_blocks = ndvi.reshape(gh, fwin, gw, fwin).transpose(0, 2, 1, 3).reshape(-1, fwin, fwin)
+    return lst_blocks, ndvi_blocks, (gh, gw)
+
+
+def untile_mosaic(blocks: np.ndarray, grid: tuple[int, int]) -> np.ndarray:
+    """(N, fwin, fwin) row-major blocks -> (gh*fwin, gw*fwin) mosaic."""
+    gh, gw = grid
+    fwin = blocks.shape[-1]
+    return (
+        blocks.reshape(gh, gw, fwin, fwin).transpose(0, 2, 1, 3).reshape(gh * fwin, gw * fwin)
+    )
+
+
+def make_sr_step(
+    model: ModelB2,
+    stats: Statistics,
+    compute_dtype=jnp.bfloat16,
+    fuse_bn: bool = True,
+):
+    """Build the jitted batched SR step:
+    (variables, lst_blocks (N,64,64), ndvi_blocks (N,256,256)) -> (N,256,256) K.
+
+    The whole per-block pipeline of the reference (normalise, cv2 bicubic x4,
+    torch forward, de-normalise; predict.py:96-103) is one XLA program. The
+    U-Net runs in ``compute_dtype`` (bf16 by default — the MXU's native
+    precision; SR output error vs f32 is ~0.01 K, far below sensor noise) with
+    DEFAULT matmul precision (single-pass MXU issue); normalisation and the
+    resampling matmuls stay in f32. Pass compute_dtype=jnp.float32 for a
+    full-precision serving path (uses HIGHEST accumulation).
+
+    fuse_bn=True folds BatchNorm into the conv weights on the fly (profiling
+    showed BN+ReLU elementwise fusions costing ~40% of the eval forward on
+    v5e; see models.fused). The returned step then expects *standard* ModelB2
+    variables and folds them inside the jit (folding is a few k FLOPs).
+    """
+    import jax.lax as lax
+
+    from sifsr_tpu.models.fused import InferenceModelB2, fold_batchnorm
+
+    precision = lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16 else lax.Precision.HIGHEST
+    if fuse_bn:
+        serve_model = InferenceModelB2(
+            in_channels=model.in_channels,
+            downchannels=tuple(model.downchannels),
+            padding_mode=model.padding_mode,
+            precision=precision,
+        )
+        apply_fn = lambda v, x: serve_model.apply(v, x)
+    else:
+        serve_model = model.clone(precision=precision)
+        apply_fn = lambda v, x: serve_model.apply(v, x, train=False)
+
+    @jax.jit
+    def sr_step(variables, lst_blocks, ndvi_blocks):
+        if fuse_bn and "batch_stats" in variables:
+            variables = fold_batchnorm(variables)
+        lst_n = (lst_blocks - stats.mean_lst) / stats.std_lst
+        ndvi_n = (ndvi_blocks - stats.mean_ndvi) / stats.std_ndvi
+        lst_up = upsample_bicubic(lst_n, 4)
+        x = jnp.stack([lst_up, ndvi_n], axis=-1).astype(compute_dtype)
+        cast_vars = jax.tree.map(lambda a: a.astype(compute_dtype), variables)
+        sr = apply_fn(cast_vars, x)[..., 0]
+        return sr.astype(jnp.float32) * stats.std_lst + stats.mean_lst
+
+    return sr_step
+
+
+def predict_granule(
+    variables,
+    lst_granule: np.ndarray,
+    ndvi_granule: np.ndarray,
+    stats: Statistics,
+    model: ModelB2 | None = None,
+    batch_size: int = 324,
+    coverage: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+    ndvi_clip: bool = True,
+) -> np.ndarray:
+    """SR a whole granule; returns the (4·H, 4·W) Kelvin mosaic.
+
+    coverage: max allowed fraction of invalid (0 K) pixels per block before a
+    block is zeroed in the output. 1.0 reproduces the reference's behaviour
+    (its skip test is vacuous, predict.py:95).
+    """
+    model = model or ModelB2()
+    if ndvi_clip:
+        ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
+    lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule)
+    n = lst_blocks.shape[0]
+
+    invalid_frac = (lst_blocks == 0.0).mean(axis=(1, 2))
+    keep = invalid_frac <= coverage
+
+    sr_step = make_sr_step(model, stats, compute_dtype)
+    out = np.zeros((n, 256, 256), dtype=np.float32)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        pad = batch_size - (stop - start)
+        lst_b = lst_blocks[start:stop]
+        ndvi_b = ndvi_blocks[start:stop]
+        if pad:  # static shapes: pad the tail batch
+            lst_b = np.concatenate([lst_b, np.zeros((pad, 64, 64), np.float32)])
+            ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, 256, 256), np.float32)])
+        sr = np.asarray(sr_step(variables, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+        out[start:stop] = sr[: stop - start]
+
+    out[~keep] = 0.0
+    return untile_mosaic(out, grid)

@@ -86,8 +86,12 @@ class TorchBatchNorm(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
-def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, name: str) -> jnp.ndarray:
-    """3x3 stride-1 conv with explicit pad (replicate/reflect/zeros) + VALID."""
+def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, name: str, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """3x3 stride-1 conv with explicit pad (replicate/reflect/zeros) + VALID.
+
+    precision: HIGHEST (f32 accumulation) for training/parity paths; pass
+    DEFAULT for bf16 serving where single-pass MXU issue is ~3x faster.
+    """
     pad_mode = _PAD_MODES[padding_mode]
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
     return nn.Conv(
@@ -96,7 +100,7 @@ def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, n
         padding="VALID",
         use_bias=use_bias,
         name=name,
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
     )(x)
 
 
@@ -106,13 +110,14 @@ class DoubleConv(nn.Module):
     features: int
     mid_features: int | None = None
     padding_mode: str = "replicate"
+    precision: lax.Precision = lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         mid = self.mid_features or self.features
-        x = _conv3x3(x, mid, self.padding_mode, False, "conv1")
+        x = _conv3x3(x, mid, self.padding_mode, False, "conv1", self.precision)
         x = nn.relu(TorchBatchNorm(mid, name="bn1")(x, train))
-        x = _conv3x3(x, self.features, self.padding_mode, False, "conv2")
+        x = _conv3x3(x, self.features, self.padding_mode, False, "conv2", self.precision)
         return nn.relu(TorchBatchNorm(self.features, name="bn2")(x, train))
 
 
@@ -122,14 +127,18 @@ class DownBlockPool(nn.Module):
     in_features: int
     out_features: int
     padding_mode: str = "replicate"
+    precision: lax.Precision = lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         # NHWC average pool over 2x2 windows.
         n, h, w, c = x.shape
         x = jnp.mean(x.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
-        x = x + DoubleConv(self.in_features, padding_mode=self.padding_mode, name="res")(x, train)
-        x = _conv3x3(x, self.out_features, self.padding_mode, False, "lastconv")
+        x = x + DoubleConv(
+            self.in_features, padding_mode=self.padding_mode,
+            precision=self.precision, name="res",
+        )(x, train)
+        x = _conv3x3(x, self.out_features, self.padding_mode, False, "lastconv", self.precision)
         return nn.relu(TorchBatchNorm(self.out_features, name="lastbn")(x, train))
 
 
@@ -140,6 +149,7 @@ class UpBlock(nn.Module):
     in_features: int
     out_features: int
     padding_mode: str = "replicate"
+    precision: lax.Precision = lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -151,6 +161,7 @@ class UpBlock(nn.Module):
             self.out_features,
             mid_features=self.in_features // 2,
             padding_mode=self.padding_mode,
+            precision=self.precision,
             name="convbloc",
         )(x, train)
 
@@ -166,21 +177,25 @@ class ModelB2(nn.Module):
     in_channels: int = 2
     downchannels: Sequence[int] = (16, 32, 64, 128)
     padding_mode: str = "replicate"
+    # HIGHEST = f32 accumulation for parity/training; DEFAULT = single-pass
+    # bf16 MXU issue for serving (~3x faster, ~0.01 K output delta).
+    precision: lax.Precision = lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = list(self.downchannels)
         pm = self.padding_mode
+        pr = self.precision
 
-        s0 = DoubleConv(d[0], padding_mode=pm, name="inbloc")(x, train)
-        s1 = DownBlockPool(d[0], d[1], pm, name="db1")(s0, train)
-        s2 = DownBlockPool(d[1], d[2], pm, name="db2")(s1, train)
-        x = DownBlockPool(d[2], d[3] // 2, pm, name="db3")(s2, train)
+        s0 = DoubleConv(d[0], padding_mode=pm, precision=pr, name="inbloc")(x, train)
+        s1 = DownBlockPool(d[0], d[1], pm, pr, name="db1")(s0, train)
+        s2 = DownBlockPool(d[1], d[2], pm, pr, name="db2")(s1, train)
+        x = DownBlockPool(d[2], d[3] // 2, pm, pr, name="db3")(s2, train)
 
-        x = UpBlock(d[3], d[2] // 2, pm, name="ub1")(x, s2, train)
-        x = UpBlock(d[2], d[1] // 2, pm, name="ub2")(x, s1, train)
-        x = UpBlock(d[1], d[0], pm, name="ub3")(x, s0, train)
+        x = UpBlock(d[3], d[2] // 2, pm, pr, name="ub1")(x, s2, train)
+        x = UpBlock(d[2], d[1] // 2, pm, pr, name="ub2")(x, s1, train)
+        x = UpBlock(d[1], d[0], pm, pr, name="ub3")(x, s0, train)
 
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=_PAD_MODES[pm])
         return nn.Conv(1, (3, 3), padding="VALID", use_bias=True, name="outlay",
-                       precision=lax.Precision.HIGHEST)(x)
+                       precision=pr)(x)

@@ -1,0 +1,52 @@
+"""GeoTIFF I/O: read the reference test-set rasters, round-trip our writer."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from sifsr_tpu.geo import read_geotiff, write_geotiff
+
+ASTER_TIFS = sorted(glob.glob("/root/reference/test_data_formatted/data/*_aster_250m.tif"))
+
+
+@pytest.mark.skipif(not ASTER_TIFS, reason="reference test data not mounted")
+def test_read_reference_aster_tiff():
+    gt = read_geotiff(ASTER_TIFS[0])
+    assert gt.array.ndim == 2
+    assert gt.array.dtype == np.float32
+    assert gt.geotransform is not None
+    # ASTER LST stored as DN = K*10 (the ASTER 0.1 scale factor is applied on
+    # read, reference utils.py:456); nodata regions are 0
+    valid = gt.array[gt.array > 1000]
+    assert valid.size > 0
+    assert 2000 < valid.mean() < 3500
+    # UTM zone EPSG from geokeys (e.g. 32631)
+    assert gt.epsg() is not None and 32600 < gt.epsg() < 32800
+
+
+@pytest.mark.skipif(len(ASTER_TIFS) < 5, reason="reference test data not mounted")
+def test_read_all_reference_tiffs_headers():
+    for path in ASTER_TIFS[:5]:
+        gt = read_geotiff(path)
+        assert gt.array.shape[0] > 100 and gt.array.shape[1] > 100
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    arr = rng.normal(size=(57, 43)).astype(np.float32)
+    geo = (347655.0, 250.0, 0.0, 4830525.0, 0.0, -250.0)
+    path = str(tmp_path / "roundtrip.tif")
+    write_geotiff(path, arr, geotransform=geo, epsg=32631, geo_ascii="WGS 84 / UTM zone 31N")
+    back = read_geotiff(path)
+    np.testing.assert_array_equal(back.array, arr)
+    assert back.geotransform == pytest.approx(geo)
+    assert back.epsg() == 32631
+
+
+def test_write_read_roundtrip_float64_and_nodata(tmp_path, rng):
+    arr = rng.normal(size=(8, 8))
+    path = str(tmp_path / "f64.tif")
+    write_geotiff(path, arr, nodata=-9999.0)
+    back = read_geotiff(path)
+    np.testing.assert_array_equal(back.array, arr)
+    assert back.nodata == -9999.0
