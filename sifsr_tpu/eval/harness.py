@@ -1,0 +1,352 @@
+"""ASTER evaluation harness — the model_perf_aster_formatds.py rebuild.
+
+For each test pair in test_data_formatted (83 ASTER-paired MODIS patches):
+
+1. run the selected SR method (modelB / bicubic / TsHARP / ATPRK / AATPRK /
+   DMS) on the 64x64 LST + 256x256 NDVI patch;
+2. embed the SR patch, the NN-upsampled input LST and the NDVI into 4800x4800
+   sinusoidal canvases at the pair's granule position
+   (model_perf_aster_formatds.py:253-261);
+3. reproject to the pair's UTM zone (our warp replaces the reference's three
+   gdalwarp subprocesses, :312-317);
+4. intersect with the ASTER 250m raster's bounds, resample ASTER bilinearly
+   onto the warped grid scale, apply the x0.1 ASTER scale (:319-358);
+5. crop both to the common valid quadrilateral via corner detection
+   (utils.find_corners semantics, cv2.goodFeaturesToTrack, :360-369);
+6. metrics: PSNR, SSIM, RMSE, RMSE stratified by ASTER high-frequency
+   gradient quartiles (with the reference's exclude-exact-zeros quirk,
+   :387-403), GSSIM, LPIPS (NaN when no VGG weights are available offline),
+   RMSE of 4-direction Sobel gradient magnitudes (:412-437);
+7. aggregate mean/std/10%/Q1/median/Q3/90% rows into performances.csv
+   (:506-525 layout).
+
+The pkl metadata (rasterio CRS/Affine objects) is decoded without rasterio by
+a stub unpickler that captures the pickled constructor state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+
+import numpy as np
+
+from sifsr_tpu.data.statistics import Statistics
+from sifsr_tpu.eval.lpips import LPIPS
+from sifsr_tpu.eval.metrics import gssim_np, psnr_np, ssim_np
+from sifsr_tpu.geo.tiff import read_geotiff
+from sifsr_tpu.geo.warp import bilinear_sample, bounds_of, warp_sinusoidal_to_utm
+from sifsr_tpu.ops.psf import lowpass_matrix
+
+__all__ = ["TestPair", "load_test_pair", "evaluate_pair", "run_evaluation", "METRIC_COLUMNS"]
+
+METRIC_COLUMNS = (
+    "PSNR",
+    "SSIM",
+    "RMSE",
+    "RMSE (low grad per image)",
+    "RMSE (mean grad per image)",
+    "RMSE (high grad per image)",
+    "GSSIM",
+    "LPIPS",
+    "RMSE_grad",
+)
+
+
+class _Stub:
+    def __new__(cls, *args, **kwargs):
+        obj = object.__new__(cls)
+        obj.newargs = args
+        return obj
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+
+    def __setstate__(self, state):
+        self.state = state
+
+
+class _StubUnpickler(pickle.Unpickler):
+    """Unpickle rasterio/affine-bearing dicts without those libraries."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return type(name, (_Stub,), {"__module__": module})
+
+
+@dataclasses.dataclass
+class TestPair:
+    lst: np.ndarray          # (64, 64) Kelvin
+    ndvi: np.ndarray         # (256, 256)
+    center: tuple[int, int]  # position in the 4800x4800 NDVI-resolution canvas
+    utm_epsg: int
+    granule_gt: tuple        # GDAL geotransform of the 4800x4800 SR canvas
+    aster_angle: float
+
+
+def load_test_pair(pkl_path: str) -> TestPair:
+    with open(pkl_path, "rb") as f:
+        d = _StubUnpickler(f).load()
+    affine_sr = getattr(d["transform affine SR"], "newargs")  # rasterio Affine(a,b,c,d,e,f)
+    a, b, c, dd, e, f = affine_sr[:6]
+    return TestPair(
+        lst=np.asarray(d["LST"], np.float64),
+        ndvi=np.asarray(d["NDVI"], np.float64),
+        center=tuple(d["center_ndvi"]),
+        utm_epsg=int(str(d["to CRS"]).split(":")[1]),
+        granule_gt=(c, a, b, f, dd, e),
+        aster_angle=float(d["aster_angle"]),
+    )
+
+
+def _find_corners(image: np.ndarray, threshold: float):
+    """Corners of the valid (rotated-rectangle) footprint -> inner rectangle.
+
+    Same contract as reference utils.find_corners (utils.py:121-159): returns
+    p1 = the middle two sorted corner x's, p2 = the middle two sorted corner
+    y's. The reference detects the 4 corners with cv2.goodFeaturesToTrack,
+    which is fragile on resampled staircase edges; for a convex footprint the
+    corners are exactly the extreme points of the mask (argmin/argmax of x
+    and y), which is what we use — deterministic and subpixel-robust.
+    """
+    mask = image >= threshold
+    if not mask.any():
+        return None, None
+    ys, xs = np.nonzero(mask)
+    corner_ids = [np.argmin(xs), np.argmax(xs), np.argmin(ys), np.argmax(ys)]
+    pts = np.stack([[xs[i], ys[i]] for i in corner_ids])
+    e0 = np.sort(pts[:, 0])
+    e1 = np.sort(pts[:, 1])
+    p1 = [int(e0[1]), int(e0[2])]
+    p2 = [int(e1[1]), int(e1[2])]
+    if p1[1] - p1[0] < 2 or p2[1] - p2[0] < 2:
+        return None, None
+    return p1, p2
+
+
+def _nonzero_rmse(sq_err: np.ndarray) -> float:
+    """sqrt(mean of entries), excluding exact zeros — reference quirk
+    (model_perf_aster_formatds.py:389, filter((0.0).__ne__, ...))."""
+    vals = sq_err[sq_err != 0.0]
+    return float(np.sqrt(vals.mean())) if vals.size else float("nan")
+
+
+def evaluate_pair(
+    pair: TestPair,
+    aster_path: str,
+    lst_sr: np.ndarray,
+    lpips_metric: LPIPS | None = None,
+    min_overlap: int = 40,
+) -> dict | None:
+    """Steps 2-6 for one pair; returns the metric dict or None if the common
+    area is too small (reference skips overlaps <= 40 px, :371)."""
+    cy, cx = pair.center
+
+    # The reference embeds the patch into the full 4800x4800 granule canvas
+    # and warps all of it (:253-317); everything outside the patch is zero, so
+    # we warp only a margin-padded window around the patch — identical result,
+    # ~200x less projection math.
+    margin = 32
+    y0, x0 = cy - 128 - margin, cx - 128 - margin
+    canvas_sr = np.zeros((256 + 2 * margin, 256 + 2 * margin))
+    canvas_sr[margin : margin + 256, margin : margin + 256] = lst_sr
+    gt = pair.granule_gt
+    window_gt = (gt[0] + x0 * gt[1], gt[1], 0.0, gt[3] + y0 * gt[5], 0.0, gt[5])
+
+    warped_sr = warp_sinusoidal_to_utm(canvas_sr, window_gt, pair.utm_epsg)
+
+    aster = read_geotiff(aster_path)
+    aster_img = aster.array.astype(np.float64)
+    aster_gt = aster.geotransform
+
+    # bounds intersection in UTM
+    sr_b = bounds_of(warped_sr.array.shape, warped_sr.geotransform)
+    as_b = bounds_of(aster_img.shape, aster_gt)
+    left = max(sr_b[0], as_b[0])
+    bottom = max(sr_b[1], as_b[1])
+    right = min(sr_b[2], as_b[2])
+    top = min(sr_b[3], as_b[3])
+    if right <= left or top <= bottom:
+        return None
+
+    # common window on the warped-SR grid
+    gt2 = warped_sr.geotransform
+    c0 = int(round((left - gt2[0]) / gt2[1]))
+    c1 = int(round((right - gt2[0]) / gt2[1]))
+    r0 = int(round((top - gt2[3]) / gt2[5]))
+    r1 = int(round((bottom - gt2[3]) / gt2[5]))
+    overlap_sr = warped_sr.array[r0:r1, c0:c1].astype(np.float64)
+    oh, ow = overlap_sr.shape
+    if oh <= min_overlap or ow <= min_overlap:
+        return None
+
+    # resample ASTER bilinearly onto the same UTM window/grid (:346-352)
+    jj, ii = np.meshgrid(np.arange(ow), np.arange(oh))
+    ux = gt2[0] + (c0 + jj + 0.5) * gt2[1]
+    uy = gt2[3] + (r0 + ii + 0.5) * gt2[5]
+    ac = (ux - aster_gt[0]) / aster_gt[1] - 0.5
+    ar = (uy - aster_gt[3]) / aster_gt[5] - 0.5
+    overlap_aster = bilinear_sample(aster_img, ar, ac, fill=0.0) * 0.1  # DN -> K
+
+    # Crop to the common valid region. The reference crops to the inner
+    # rectangle of the detected footprint corners (:360-369); bilinear
+    # resampling produces ramp pixels (values blended towards 0) along both
+    # footprints' borders, which the reference's 200 K threshold lets through.
+    # We erode both validity masks to kill the ramps, take the inner rectangle
+    # of the joint footprint's corner extremes (same construction as
+    # utils.find_corners), then trim any remaining invalid border rows/cols.
+    from scipy.ndimage import binary_erosion
+
+    valid = binary_erosion(overlap_sr >= 200.0, iterations=3) & binary_erosion(
+        overlap_aster >= 200.0, iterations=3
+    )
+    p1, p2 = _find_corners(valid.astype(np.float64), 0.5)
+    if p1 is None:
+        return None
+    r0c, r1c = p2[0] + 1, p2[1] - 1
+    c0c, c1c = p1[0] + 1, p1[1] - 1
+    # trim edges still containing invalid pixels (max 25 passes)
+    for _ in range(25):
+        if r1c - r0c <= min_overlap or c1c - c0c <= min_overlap:
+            break
+        sub = valid[r0c:r1c, c0c:c1c]
+        if sub.all():
+            break
+        edges = {
+            "top": (~sub[0]).sum(),
+            "bottom": (~sub[-1]).sum(),
+            "left": (~sub[:, 0]).sum(),
+            "right": (~sub[:, -1]).sum(),
+        }
+        worst = max(edges, key=edges.get)
+        if edges[worst] == 0:
+            # invalid pixels strictly interior (nodata holes) — accept them
+            break
+        if worst == "top":
+            r0c += 1
+        elif worst == "bottom":
+            r1c -= 1
+        elif worst == "left":
+            c0c += 1
+        else:
+            c1c -= 1
+
+    crop_aster = overlap_aster[r0c:r1c, c0c:c1c]
+    crop_sr = overlap_sr[r0c:r1c, c0c:c1c]
+    if crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap:
+        return None
+
+    return compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+
+
+def compute_pair_metrics(
+    crop_sr: np.ndarray, crop_aster: np.ndarray, lpips_metric: LPIPS | None = None
+) -> dict:
+    """Step 6: the reference's metric block (:371-438) on a cropped pair."""
+    import scipy.signal as sps
+
+    maxi = max(crop_aster.max(), crop_sr.max())
+    mini = min(crop_aster.min(), crop_sr.min())
+    data_range = maxi - mini
+
+    # ASTER high-frequency magnitude = |x - PSF lowpass| (get_output_ftm
+    # defaults factor=4 mtf=0.1, :377-378); per-axis matrix application
+    mat = lowpass_matrix(crop_aster.shape[0], 4, 0.1)
+    mat2 = lowpass_matrix(crop_aster.shape[1], 4, 0.1)
+    low = mat @ crop_aster @ mat2.T
+    grad_aster = np.abs(crop_aster - low)
+
+    sq = (crop_aster - crop_sr) ** 2
+    lo = np.percentile(grad_aster, 25)
+    hi = np.percentile(grad_aster, 75)
+
+    err_low = sq.copy()
+    err_low[grad_aster >= lo] = 0
+    err_mid = sq.copy()
+    err_mid[(grad_aster < lo) | (grad_aster > hi)] = 0
+    err_high = sq.copy()
+    err_high[grad_aster < hi] = 0
+
+    # 4-direction Sobel gradient-magnitude RMSE (true convolution, :412-425)
+    sobels = [
+        [[1, 2, 1], [0, 0, 0], [-1, -2, -1]],
+        [[1, 0, -1], [2, 0, -2], [1, 0, -1]],
+        [[2, 1, 0], [1, 0, -1], [0, -1, -2]],
+        [[0, 1, 2], [-1, 0, 1], [-2, -1, 0]],
+    ]
+    g_m = [sps.convolve2d(crop_sr, s, mode="valid") for s in sobels]
+    g_a = [sps.convolve2d(crop_aster, s, mode="valid") for s in sobels]
+    mag_m = np.sqrt(sum(g * g for g in g_m))
+    mag_a = np.sqrt(sum(g * g for g in g_a))
+
+    lp = float("nan")
+    if lpips_metric is not None:
+        lp = lpips_metric(
+            (crop_sr - mini) / (maxi - mini), (crop_aster - mini) / (maxi - mini)
+        )
+
+    # numpy metric paths: the crops have a different shape per pair, and
+    # jit-compiled metrics would recompile for every shape
+    return {
+        "PSNR": psnr_np(crop_sr, crop_aster, data_range),
+        "SSIM": ssim_np(crop_sr, crop_aster, data_range),
+        "RMSE": float(np.sqrt(sq.mean())),
+        "RMSE (low grad per image)": _nonzero_rmse(err_low),
+        "RMSE (mean grad per image)": _nonzero_rmse(err_mid),
+        "RMSE (high grad per image)": _nonzero_rmse(err_high),
+        "GSSIM": gssim_np(crop_sr, crop_aster, data_range),
+        "LPIPS": lp,
+        "RMSE_grad": float(np.sqrt(np.mean((mag_m - mag_a) ** 2))),
+    }
+
+
+def run_evaluation(
+    dataset_dir: str,
+    sr_fn,
+    output_csv: str | None = None,
+    lpips_metric: LPIPS | None = None,
+    limit: int | None = None,
+    log_fn=print,
+) -> "object":
+    """Evaluate ``sr_fn(lst (64,64) K, ndvi (256,256)) -> (256,256) K`` over
+    the whole formatted test set; returns the pandas results frame and
+    optionally writes the reference-layout performances.csv."""
+    import pandas as pd
+
+    manifest = pd.read_csv(os.path.join(dataset_dir, "dataset.csv"))
+    rows = {}
+    count = 0
+    for _, row in manifest.iterrows():
+        idx = row.iloc[0]
+        aster_path = os.path.join(dataset_dir, "data", os.path.basename(row["Aster 250m UTM"]))
+        pkl_path = os.path.join(dataset_dir, "data", os.path.basename(row["MODIS patch"]))
+        pair = load_test_pair(pkl_path)
+        if pair.ndvi.shape != (256, 256):
+            continue
+        lst_sr = sr_fn(pair.lst, pair.ndvi)
+        metrics = evaluate_pair(pair, aster_path, lst_sr, lpips_metric)
+        if metrics is None:
+            log_fn(f"pair {idx}: skipped (no usable overlap)")
+            continue
+        rows[idx] = metrics
+        log_fn(f"pair {idx}: " + "  ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+        count += 1
+        if limit is not None and count >= limit:
+            break
+
+    df = pd.DataFrame.from_dict(rows, orient="index", columns=list(METRIC_COLUMNS))
+    base = df.copy()
+    df.loc["mean"] = base.mean()
+    df.loc["std"] = base.std()
+    df.loc["10%"] = base.quantile(0.1)
+    df.loc["Q1"] = base.quantile(0.25)
+    df.loc["mediane"] = base.quantile(0.5)
+    df.loc["Q3"] = base.quantile(0.75)
+    df.loc["90%"] = base.quantile(0.9)
+    if output_csv:
+        os.makedirs(os.path.dirname(output_csv) or ".", exist_ok=True)
+        df.to_csv(output_csv)
+    return df

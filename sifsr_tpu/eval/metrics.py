@@ -208,3 +208,66 @@ def stratified_rmse(
         masked_rmse((strata_field >= lo) & (strata_field <= hi)),
         masked_rmse(strata_field > hi),
     )
+
+
+# ----------------------------------------------------------------- numpy paths
+# The ASTER harness produces variable-shape crops; jit-compiled metrics would
+# recompile per shape (tens of seconds each on CPU). These numpy twins share
+# the exact same semantics and are used by eval.harness.
+def ssim_np(pred, target, data_range: float, win_size: int = 7) -> float:
+    import numpy as np
+    from scipy.ndimage import uniform_filter
+
+    x = target.astype(np.float64)
+    y = pred.astype(np.float64)
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0)
+    f = lambda im: uniform_filter(im, size=win_size)
+    ux, uy = f(x), f(y)
+    vx = cov_norm * (f(x * x) - ux * ux)
+    vy = cov_norm * (f(y * y) - uy * uy)
+    vxy = cov_norm * (f(x * y) - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux * ux + uy * uy + c1) * (vx + vy + c2))
+    pad = (win_size - 1) // 2
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+def psnr_np(pred, target, data_range: float) -> float:
+    import numpy as np
+
+    mse = float(np.mean((target.astype(np.float64) - pred.astype(np.float64)) ** 2))
+    return 10.0 * float(np.log10(data_range**2 / mse))
+
+
+def gssim_np(pred, target, data_range: float, win_size: int = 7) -> float:
+    import numpy as np
+    import scipy.signal as sps
+    from scipy.ndimage import uniform_filter
+
+    im1 = target.astype(np.float64)
+    im2 = pred.astype(np.float64)
+    kx = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+    ky = [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]
+    f0 = sps.convolve2d(im1, kx, mode="valid")
+    f1 = sps.convolve2d(im1, ky, mode="valid")
+    g0 = sps.convolve2d(im2, kx, mode="valid")
+    g1 = sps.convolve2d(im2, ky, mode="valid")
+    f_mag = np.sqrt(f0**2 + f1**2)
+    g_mag = np.sqrt(g0**2 + g1**2)
+    im1, im2 = im1[1:-1, 1:-1], im2[1:-1, 1:-1]
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0)
+    f = lambda im: uniform_filter(im, size=win_size)
+    ux, uy = f(im1), f(im2)
+    vx = cov_norm * (f(f_mag * f_mag) - f(f_mag) ** 2)
+    vy = cov_norm * (f(g_mag * g_mag) - f(g_mag) ** 2)
+    vxy = cov_norm * (f(f_mag * g_mag) - f(f_mag) * f(g_mag))
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    lum = (2 * ux * uy + c1) / (ux**2 + uy**2 + c1)
+    con = (2 * np.sqrt(vx) * np.sqrt(vy) + c2) / (vx + vy + c2)
+    struct = (vxy + c2) / (np.sqrt(vx) * np.sqrt(vy) + c2 / 2)
+    pad = (win_size - 1) // 2
+    return float((lum * con * struct)[pad:-pad, pad:-pad].mean())

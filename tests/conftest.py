@@ -22,8 +22,10 @@ REFERENCE = "/root/reference"
 GOLDEN = os.path.join(os.path.dirname(__file__), os.pardir, "golden")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order or -k selections
     return np.random.default_rng(42)
 
 
