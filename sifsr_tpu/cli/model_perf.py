@@ -1,0 +1,163 @@
+"""ASTER evaluation CLI (model_perf_aster_formatds.py rebuilt).
+
+    python -m sifsr_tpu.cli.model_perf --sr-type modelB \
+        --model-dir /root/reference/models/modelB_1009 \
+        --dataset /root/reference/test_data_formatted
+
+Unlike the reference (which is configured by editing module globals,
+model_perf_aster_formatds.py:65-80), everything is a flag. Writes
+<out>/performances.csv with the reference's column and aggregate-row layout.
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+SR_TYPES = ("modelB", "bicubic", "TsHARP", "ATPRK", "AATPRK", "DMS")
+
+
+def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: bool = False):
+    """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin."""
+    if sr_type == "bicubic":
+        from sifsr_tpu.baselines import bicubic_sr
+
+        return lambda lst, ndvi: bicubic_sr(lst)
+    if sr_type == "TsHARP":
+        from sifsr_tpu.baselines import tsharp
+        from sifsr_tpu.ops.pooling import norm_l4_downsample
+
+        import jax.numpy as jnp
+
+        def fn(lst, ndvi):
+            nd = np.asarray(norm_l4_downsample(jnp.asarray(ndvi)[None], 4))[0]
+            nd = np.clip(nd, -1, 1)
+            return tsharp(lst, nd, ndvi, 4, min_t=273)
+
+        return fn
+    if sr_type in ("ATPRK", "AATPRK"):
+        from sifsr_tpu.baselines import aatprk, atprk
+        from sifsr_tpu.ops.pooling import norm_l4_downsample
+
+        import jax.numpy as jnp
+
+        method = atprk if sr_type == "ATPRK" else aatprk
+
+        def fn(lst, ndvi):
+            nd = np.asarray(norm_l4_downsample(jnp.asarray(ndvi)[None], 4))[0]
+            nd = np.clip(nd, -1, 1)
+            return method(lst, nd, ndvi, scale=4, scc=926, block_size=5, min_t=273)
+
+        return fn
+    if sr_type == "DMS":
+        from sifsr_tpu.baselines import dms_sharpen
+
+        return lambda lst, ndvi: dms_sharpen(lst, ndvi, factor=4)
+
+    # modelB
+    import jax
+    import jax.numpy as jnp
+
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.models.unet import ModelB2
+    from sifsr_tpu.ops.resize import upsample_bicubic
+
+    stats = Statistics.from_json(statistics)
+    model = ModelB2()
+    torch_sd = os.path.join(model_dir, "modelB_state_dict.pt")
+    msgpack_candidates = [
+        os.path.join(model_dir, f)
+        for f in (os.listdir(model_dir) if os.path.isdir(model_dir) else [])
+        if f.endswith("_variables.msgpack")
+    ]
+    if msgpack_candidates:
+        from flax import serialization
+
+        template = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 2)), train=False)
+        with open(msgpack_candidates[0], "rb") as f:
+            variables = serialization.from_bytes(dict(template), f.read())
+    else:
+        from sifsr_tpu.models.convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(torch_sd)
+
+    @jax.jit
+    def sr_jit(lst, ndvi):
+        lst_n = (lst - stats.mean_lst) / stats.std_lst
+        ndvi_n = (ndvi - stats.mean_ndvi) / stats.std_ndvi
+        lst_up = upsample_bicubic(lst_n[None], 4)[0]
+        x = jnp.stack([lst_up, ndvi_n], -1)[None]
+        sr = model.apply(variables, x, train=False)[0, :, :, 0]
+        return sr * stats.std_lst + stats.mean_lst
+
+    if scale_invariance:
+        # the SC-Unet model runs on 64x64 tiles of the 256x256 inputs
+        # (reference model_perf_aster_formatds.py:192-200)
+        def fn(lst, ndvi):
+            lst_n = (lst - stats.mean_lst) / stats.std_lst
+            ndvi_n = (ndvi - stats.mean_ndvi) / stats.std_ndvi
+            import numpy as _np
+
+            lst_up = np.asarray(upsample_bicubic(jnp.asarray(lst_n, jnp.float32)[None], 4))[0]
+            out = _np.zeros((256, 256), np.float32)
+            tiles_up = []
+            tiles_nd = []
+            for i in range(4):
+                for j in range(4):
+                    tiles_up.append(lst_up[i * 64 : (i + 1) * 64, j * 64 : (j + 1) * 64])
+                    tiles_nd.append(ndvi_n[i * 64 : (i + 1) * 64, j * 64 : (j + 1) * 64])
+            x = jnp.stack([jnp.stack(tiles_up), jnp.stack(np.asarray(tiles_nd, np.float32))], -1)
+            sr = np.asarray(model.apply(variables, x, train=False))[..., 0]
+            for k in range(16):
+                i, j = divmod(k, 4)
+                out[i * 64 : (i + 1) * 64, j * 64 : (j + 1) * 64] = sr[k]
+            return out * stats.std_lst + stats.mean_lst
+
+        return fn
+
+    return lambda lst, ndvi: np.asarray(
+        sr_jit(jnp.asarray(lst, jnp.float32), jnp.asarray(ndvi, jnp.float32))
+    )
+
+
+def main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--sr-type", default="modelB", choices=SR_TYPES)
+    parser.add_argument("--model-dir", default="./models/modelB_1009")
+    parser.add_argument("--dataset", default="./test_data_formatted")
+    parser.add_argument("--statistics", default="data/statistics.json")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--scale-invariance", action="store_true",
+                        help="tile 64x64 through the model (SC-Unet eval mode)")
+    parser.add_argument("--vgg16-weights", default=None)
+    parser.add_argument("--lpips-weights", default=None)
+    parser.add_argument("--save-pairs", action="store_true",
+                        help="pickle per-pair crops for cli.compare_methods")
+    args = parser.parse_args(argv)
+
+    from sifsr_tpu.eval.harness import run_evaluation
+    from sifsr_tpu.eval.lpips import LPIPS
+
+    sr_fn = make_sr_fn(args.sr_type, args.model_dir, args.statistics, args.scale_invariance)
+    lpips = LPIPS(args.vgg16_weights, args.lpips_weights)
+    if not lpips.available:
+        print("LPIPS weights not found offline — LPIPS column will be NaN")
+
+    out_dir = args.out or os.path.join(args.dataset, "results", args.sr_type)
+    df = run_evaluation(
+        args.dataset,
+        sr_fn,
+        output_csv=os.path.join(out_dir, "performances.csv"),
+        lpips_metric=lpips if lpips.available else None,
+        limit=args.limit,
+        save_pairs_dir=out_dir if args.save_pairs else None,
+    )
+    print("|-------- Statistics --------|")
+    print(df.loc["mean"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Whole-granule SR prediction CLI (reference predict.py rebuilt).
+
+    python -m sifsr_tpu.cli.predict \
+        --MOD21A1D_file_path granule_lst.hdf|.tif \
+        --MOD09GQ_file_path granule_refl.hdf|.tif ...
+
+Inputs may be MODIS .hdf granules (decoded by geo.hdf4) or GeoTIFFs (LST in
+Kelvin; for MOD09GQ either a precomputed NDVI tif via --ndvi_is_precomputed
+or a 2-band NIR/Red pair as two files). Output: predictions/prediction.tiff,
+georeferenced from the input's geotransform — no gdal_translate subprocess
+(reference predict.py:105-128).
+
+The reference SRs the granule block-by-block at batch 1 on the host
+(predict.py:84-103); here all 324 blocks go through batched jitted TPU steps
+(sifsr_tpu.inference).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+from sifsr_tpu.data.ingest import compute_ndvi
+from sifsr_tpu.data.statistics import Statistics
+from sifsr_tpu.geo.tiff import read_geotiff, write_geotiff
+from sifsr_tpu.inference import predict_granule
+from sifsr_tpu.models.unet import ModelB2
+
+
+def _load_lst(path: str):
+    if path.endswith((".tif", ".tiff")):
+        g = read_geotiff(path)
+        return g.array.astype(np.float32), g.geotransform
+    from sifsr_tpu.geo.hdf4 import read_modis_lst
+
+    return read_modis_lst(path, time="day")
+
+
+def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
+    if path.endswith((".tif", ".tiff")):
+        if precomputed:
+            g = read_geotiff(path)
+            return g.array.astype(np.float32), g.geotransform
+        nir = read_geotiff(path)
+        red = read_geotiff(red_path)
+        return compute_ndvi(nir.array.astype(np.float64), red.array.astype(np.float64)).astype(np.float32), nir.geotransform
+    from sifsr_tpu.geo.hdf4 import read_modis_nir_red
+
+    red, nir, gt = read_modis_nir_red(path)
+    return compute_ndvi(nir, red).astype(np.float32), gt
+
+
+def main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--MOD21A1D_file_path", type=str, required=True)
+    parser.add_argument("--MOD09GQ_file_path", type=str, required=True)
+    parser.add_argument("--red_file_path", type=str, default=None,
+                        help="Red-band tif when MOD09GQ path is a NIR tif")
+    parser.add_argument("--ndvi_is_precomputed", action="store_true")
+    parser.add_argument("--model_dir", type=str, default="./models/modelB_1009")
+    parser.add_argument("--model_name", type=str, default="modelB")
+    parser.add_argument("--statistics", type=str, default="data/statistics.json")
+    parser.add_argument("--save_path", type=str, default="./predictions")
+    parser.add_argument("--batch_size", type=int, default=324)
+    parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    stats = Statistics.from_json(args.statistics)
+    model = ModelB2()
+
+    # weights: our msgpack format, falling back to a torch state_dict
+    msgpack = os.path.join(args.model_dir, f"{args.model_name}_variables.msgpack")
+    torch_sd = os.path.join(args.model_dir, f"{args.model_name}_state_dict.pt")
+    if os.path.exists(msgpack):
+        import jax
+
+        from flax import serialization
+
+        template = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 2)), train=False)
+        with open(msgpack, "rb") as f:
+            variables = serialization.from_bytes(dict(template), f.read())
+    elif os.path.exists(torch_sd):
+        from sifsr_tpu.models.convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(torch_sd)
+    else:
+        raise FileNotFoundError(f"no weights under {args.model_dir}")
+
+    lst, lst_gt = _load_lst(args.MOD21A1D_file_path)
+    ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
+    print(f"LST {lst.shape}, NDVI {ndvi.shape}")
+
+    mosaic = predict_granule(
+        variables, lst, ndvi, stats, model=model,
+        batch_size=args.batch_size,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+    )
+
+    os.makedirs(args.save_path, exist_ok=True)
+    out = os.path.join(args.save_path, "prediction.tiff")
+    write_geotiff(out, mosaic.astype(np.float32), geotransform=ndvi_gt,
+                  geo_ascii="MODIS Sinusoidal (sphere R=6371007.181)")
+    print(f"wrote {out}  ({mosaic.shape[0]}x{mosaic.shape[1]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,24 +44,36 @@ class Statistics:
 
 
 def compute_statistics(lst_images, ndvi_images) -> Statistics:
-    """Global statistics over iterables of LST / NDVI arrays (train split
-    only, reference data_preparation.py:85-105: a running mean of per-image
-    means/stds and a running max/min)."""
+    """Global *pooled-pixel* statistics over iterables of LST / NDVI arrays
+    (train split only; reference data_preparation.py:85-102 concatenates all
+    images and takes one mean/std over every pixel). Computed streaming via
+    sum / sum-of-squares so the whole dataset never has to be resident."""
     maxi, mini = -np.inf, np.inf
-    lst_means, lst_stds, ndvi_means, ndvi_stds = [], [], [], []
+    s = ss = n = 0.0
     for lst in lst_images:
-        maxi = max(maxi, float(np.max(lst)))
-        mini = min(mini, float(np.min(lst)))
-        lst_means.append(float(np.mean(lst)))
-        lst_stds.append(float(np.std(lst)))
+        lst = np.asarray(lst, np.float64)
+        maxi = max(maxi, float(lst.max()))
+        mini = min(mini, float(lst.min()))
+        s += lst.sum()
+        ss += np.square(lst).sum()
+        n += lst.size
+    mean_lst = s / n
+    std_lst = float(np.sqrt(ss / n - mean_lst**2))
+
+    s = ss = n = 0.0
     for ndvi in ndvi_images:
-        ndvi_means.append(float(np.mean(ndvi)))
-        ndvi_stds.append(float(np.std(ndvi)))
+        ndvi = np.asarray(ndvi, np.float64)
+        s += ndvi.sum()
+        ss += np.square(ndvi).sum()
+        n += ndvi.size
+    mean_ndvi = s / n
+    std_ndvi = float(np.sqrt(ss / n - mean_ndvi**2))
+
     return Statistics(
         maxi=maxi,
         mini=mini,
-        mean_lst=float(np.mean(lst_means)),
-        std_lst=float(np.mean(lst_stds)),
-        mean_ndvi=float(np.mean(ndvi_means)),
-        std_ndvi=float(np.mean(ndvi_stds)),
+        mean_lst=float(mean_lst),
+        std_lst=std_lst,
+        mean_ndvi=float(mean_ndvi),
+        std_ndvi=std_ndvi,
     )

@@ -140,9 +140,12 @@ def evaluate_pair(
     lst_sr: np.ndarray,
     lpips_metric: LPIPS | None = None,
     min_overlap: int = 40,
-) -> dict | None:
-    """Steps 2-6 for one pair; returns the metric dict or None if the common
-    area is too small (reference skips overlaps <= 40 px, :371)."""
+    return_crops: bool = False,
+):
+    """Steps 2-6 for one pair; returns the metric dict (or, with
+    return_crops, (metrics, crops-dict in the {idx}_dict_pred.pkl layout of
+    model_perf_aster_formatds.py:499-503)) or None if the common area is too
+    small (reference skips overlaps <= 40 px, :371)."""
     cy, cx = pair.center
 
     # The reference embeds the patch into the full 4800x4800 granule canvas
@@ -157,6 +160,24 @@ def evaluate_pair(
     window_gt = (gt[0] + x0 * gt[1], gt[1], 0.0, gt[3] + y0 * gt[5], 0.0, gt[5])
 
     warped_sr = warp_sinusoidal_to_utm(canvas_sr, window_gt, pair.utm_epsg)
+
+    warped_lo = warped_nd = None
+    if return_crops:
+        # NN-upsampled input LST and the NDVI, warped on the same grid
+        # (reference overlap_3 / overlap_4, :253-261,323-324)
+        lst_low = np.repeat(np.repeat(pair.lst, 4, 0), 4, 1)
+        canvas_lo = np.zeros_like(canvas_sr)
+        canvas_lo[margin : margin + 256, margin : margin + 256] = lst_low
+        canvas_nd = np.zeros_like(canvas_sr)
+        canvas_nd[margin : margin + 256, margin : margin + 256] = pair.ndvi
+        warped_lo = warp_sinusoidal_to_utm(
+            canvas_lo, window_gt, pair.utm_epsg,
+            dst_gt=warped_sr.geotransform, dst_shape=warped_sr.array.shape,
+        )
+        warped_nd = warp_sinusoidal_to_utm(
+            canvas_nd, window_gt, pair.utm_epsg,
+            dst_gt=warped_sr.geotransform, dst_shape=warped_sr.array.shape,
+        )
 
     aster = read_geotiff(aster_path)
     aster_img = aster.array.astype(np.float64)
@@ -239,7 +260,18 @@ def evaluate_pair(
     if crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap:
         return None
 
-    return compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+    metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+    if not return_crops:
+        return metrics
+    crops = {
+        # reference's dict layout incl. its 'LST:' key typo, which
+        # compare_methods.py:642 explicitly depends on
+        "LST:": warped_lo.array[r0:r1, c0:c1][r0c:r1c, c0c:c1c].astype(np.float64),
+        "NDVI": warped_nd.array[r0:r1, c0:c1][r0c:r1c, c0c:c1c].astype(np.float64),
+        "LST_ASTER": crop_aster,
+        "LST_SR": crop_sr,
+    }
+    return metrics, crops
 
 
 def compute_pair_metrics(
@@ -309,13 +341,18 @@ def run_evaluation(
     output_csv: str | None = None,
     lpips_metric: LPIPS | None = None,
     limit: int | None = None,
+    save_pairs_dir: str | None = None,
     log_fn=print,
 ) -> "object":
     """Evaluate ``sr_fn(lst (64,64) K, ndvi (256,256)) -> (256,256) K`` over
     the whole formatted test set; returns the pandas results frame and
-    optionally writes the reference-layout performances.csv."""
+    optionally writes the reference-layout performances.csv. With
+    save_pairs_dir, each pair's cropped arrays are pickled as
+    {idx}_dict_pred.pkl for the compare_methods spectral batch job."""
     import pandas as pd
 
+    if save_pairs_dir:
+        os.makedirs(save_pairs_dir, exist_ok=True)
     manifest = pd.read_csv(os.path.join(dataset_dir, "dataset.csv"))
     rows = {}
     count = 0
@@ -327,10 +364,18 @@ def run_evaluation(
         if pair.ndvi.shape != (256, 256):
             continue
         lst_sr = sr_fn(pair.lst, pair.ndvi)
-        metrics = evaluate_pair(pair, aster_path, lst_sr, lpips_metric)
-        if metrics is None:
+        result = evaluate_pair(
+            pair, aster_path, lst_sr, lpips_metric, return_crops=bool(save_pairs_dir)
+        )
+        if result is None:
             log_fn(f"pair {idx}: skipped (no usable overlap)")
             continue
+        if save_pairs_dir:
+            metrics, crops = result
+            with open(os.path.join(save_pairs_dir, f"{idx}_dict_pred.pkl"), "wb") as f:
+                pickle.dump(crops, f)
+        else:
+            metrics = result
         rows[idx] = metrics
         log_fn(f"pair {idx}: " + "  ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
         count += 1

