@@ -1,0 +1,128 @@
+"""ctypes bindings for the native raster loader (native/sifsr_native.cpp).
+
+Builds on demand (g++ -O3 -shared -lz) if the shared object is missing, and
+falls back to the pure-Python GeoTIFF reader when no toolchain is available —
+the API is identical either way.
+
+    batch = load_batch(paths, height=64, width=64, mean=295.0, std=10.0,
+                       n_threads=8)   # (N, H, W) float32, decoded in parallel
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["native_available", "read_tiff", "load_batch"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir, "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "sifsr_native.cpp"))
+_SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libsifsr_native.so"))
+
+_lib = None
+_tried = False
+
+
+def _load_library():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and os.path.exists(_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz", "-lpthread"],
+                check=True,
+                capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.sifsr_tiff_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.sifsr_tiff_info.restype = ctypes.c_int
+    lib.sifsr_tiff_read_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.sifsr_tiff_read_f32.restype = ctypes.c_int
+    lib.sifsr_load_batch_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.sifsr_load_batch_f32.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Decode one single-band TIFF to float32 (native, python fallback)."""
+    lib = _load_library()
+    if lib is None:
+        from sifsr_tpu.geo.tiff import read_geotiff
+
+        return read_geotiff(path).array.astype(np.float32)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.sifsr_tiff_info(path.encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise IOError(f"sifsr_tiff_info({path}) -> {rc}")
+    out = np.empty((h.value, w.value), np.float32)
+    rc = lib.sifsr_tiff_read_f32(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.size
+    )
+    if rc != 0:
+        raise IOError(f"sifsr_tiff_read_f32({path}) -> {rc}")
+    return out
+
+
+def load_batch(
+    paths: list[str],
+    height: int,
+    width: int,
+    mean: float = 0.0,
+    std: float = 1.0,
+    n_threads: int = 8,
+) -> np.ndarray:
+    """Decode + normalise a batch of same-shape TIFFs concurrently."""
+    lib = _load_library()
+    if lib is None:
+        from sifsr_tpu.geo.tiff import read_geotiff
+
+        out = np.stack([read_geotiff(p).array.astype(np.float32) for p in paths])
+        return (out - mean) / std
+
+    out = np.empty((len(paths), height, width), np.float32)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    rc = lib.sifsr_load_batch_f32(
+        arr,
+        len(paths),
+        height,
+        width,
+        ctypes.c_float(mean),
+        ctypes.c_float(1.0 / std),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    if rc != 0:
+        raise IOError(f"sifsr_load_batch_f32 -> {rc}")
+    return out

