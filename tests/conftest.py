@@ -8,12 +8,33 @@ Env vars must be set before jax initialises, hence the top-of-file placement.
 """
 
 import os
+import sys
 
+# The axon sitecustomize (PYTHONPATH) registers a remote-TPU PJRT plugin at
+# interpreter startup whenever PALLAS_AXON_POOL_IPS is set, and that
+# registration overrides JAX_PLATFORMS. Unit tests must run on the local CPU
+# backend (8 virtual devices for sharding tests), so if the plugin env is
+# present we scrub it and re-exec pytest before jax can initialise.
+# This machine's axon sitecustomize registers a remote-TPU PJRT plugin at
+# interpreter startup and the terminal env pins JAX_PLATFORMS=axon; jax may
+# already be imported before conftest (the jaxtyping pytest plugin pulls it
+# in), binding that env value into jax.config. Unit tests must run on the
+# local CPU backend with 8 virtual devices (for the sharding tests), so we
+# update jax.config directly before any backend initialises.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the CPU backend; axon plugin leaked through"
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

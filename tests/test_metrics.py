@@ -114,7 +114,8 @@ def test_gssim_matches_reference_formula(rng):
     dr = float(targ.max() - targ.min())
     want = np.array([_reference_gssim(targ[i], pred[i], dr) for i in range(2)])
     got = np.asarray(gssim(jnp.asarray(pred), jnp.asarray(targ), jnp.asarray(dr)))
-    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # gssim of uncorrelated noise is ~1e-4-scale; f32 vs f64 needs an atol
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
 
 
 def test_attenuation_spectrum_matches_reference(rng):
