@@ -27,7 +27,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from sifsr_tpu.eval.spectra import afr, attenuation_spectrum, frr, fro, fru, pfr
+from sifsr_tpu.eval.spectra import afr, attenuation_spectrum_np, frr, fro, fru, pfr
 
 
 def _load(path):
@@ -41,9 +41,11 @@ def main(argv=None):
     parser.add_argument("--models", nargs="+", required=True,
                         help="results subdirectories to score (bicubic is implicit)")
     parser.add_argument("--figure", default=None, help="average-spectrum PNG path")
+    parser.add_argument("--results-dir", default=None,
+                        help="override <dataset>/results as the results root")
     args = parser.parse_args(argv)
 
-    results_dir = os.path.join(args.dataset, "results")
+    results_dir = args.results_dir or os.path.join(args.dataset, "results")
     bicubic_pkls = sorted(glob.glob(os.path.join(results_dir, "bicubic", "*_dict_pred.pkl")))
     if not bicubic_pkls:
         parser.error(f"no bicubic dict_pred pkls under {results_dir}/bicubic "
@@ -55,8 +57,8 @@ def main(argv=None):
     for bic_path in bicubic_pkls:
         idx = os.path.basename(bic_path).split("_")[0]
         bic = _load(bic_path)
-        aster_db = np.asarray(attenuation_spectrum(jnp.asarray(bic["LST_ASTER"])))
-        bic_db = np.asarray(attenuation_spectrum(jnp.asarray(bic["LST_SR"])))
+        aster_db = attenuation_spectrum_np(bic["LST_ASTER"])
+        bic_db = attenuation_spectrum_np(bic["LST_SR"])
         spectra_acc["ASTER"].append(aster_db)
         spectra_acc["bicubic"].append(bic_db)
 
@@ -67,7 +69,7 @@ def main(argv=None):
             crop = _load(path)["LST_SR"]
             if crop.shape != bic["LST_SR"].shape:
                 continue
-            model_db = np.asarray(attenuation_spectrum(jnp.asarray(crop)))
+            model_db = attenuation_spectrum_np(crop)
             spectra_acc[model].append(model_db)
             pb, rb, xb = jnp.asarray(model_db), jnp.asarray(aster_db), jnp.asarray(bic_db)
             scores[model]["PFR"].append(float(pfr(rb, xb)))

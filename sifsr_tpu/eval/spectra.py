@@ -103,3 +103,21 @@ def fro(pb: jnp.ndarray, rb: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
 def fru(pb: jnp.ndarray, rb: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
     """Frequency-restitution undershoot below the bicubic floor."""
     return jnp.sum(xb - jnp.minimum(pb, xb), axis=-1) / jnp.sum(xb, axis=-1)
+
+
+def attenuation_spectrum_np(image) -> "np.ndarray":
+    """numpy twin of attenuation_spectrum for variable-shape host-side use
+    (the compare_methods batch job sees a different crop shape per pair —
+    a jitted path would recompile for every one)."""
+    image = np.asarray(image)
+    h, w = image.shape
+    ids, n_rings = _ring_ids(h, w)
+    spec = np.fft.fftshift(np.abs(np.fft.fft2(image)))
+    f0 = spec[h // 2, w // 2]
+    flat_ids = ids.reshape(-1)
+    valid = flat_ids >= 0
+    sums = np.bincount(flat_ids[valid], weights=spec.reshape(-1)[valid], minlength=n_rings)
+    counts = np.bincount(flat_ids[valid], minlength=n_rings)
+    means = sums / counts
+    att = 10.0 * (np.log10(means) - np.log10(f0))
+    return np.concatenate([[1.0], att])
