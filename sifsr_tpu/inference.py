@@ -57,6 +57,7 @@ def untile_mosaic(blocks: np.ndarray, grid: tuple[int, int]) -> np.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=8)
 def make_sr_step(
     model: ModelB2,
     stats: Statistics,
