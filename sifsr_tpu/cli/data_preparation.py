@@ -22,7 +22,6 @@ import os
 from argparse import ArgumentParser
 from random import choices, seed
 
-import numpy as np
 import pandas as pd
 
 from sifsr_tpu.data.statistics import compute_statistics

@@ -136,6 +136,8 @@ def main(argv=None):
     parser.add_argument("--lpips-weights", default=None)
     parser.add_argument("--save-pairs", action="store_true",
                         help="pickle per-pair crops for cli.compare_methods")
+    parser.add_argument("--figures", action="store_true",
+                        help="write 4-panel comparison PNGs per pair")
     args = parser.parse_args(argv)
 
     from sifsr_tpu.eval.harness import run_evaluation
@@ -154,6 +156,7 @@ def main(argv=None):
         lpips_metric=lpips if lpips.available else None,
         limit=args.limit,
         save_pairs_dir=out_dir if args.save_pairs else None,
+        figures_dir=os.path.join(out_dir, "figures") if args.figures else None,
     )
     print("|-------- Statistics --------|")
     print(df.loc["mean"])

@@ -60,6 +60,12 @@ class TrainConfig:
     seed: int = 0
     # parallelism: data-parallel shards over this many devices (0 = all local)
     n_devices: int = 0
+    # matmul/conv precision: 'highest' = f32 accumulation (torch parity);
+    # 'default' = single-pass bf16 MXU issue (~1.5x faster training)
+    precision: str = "highest"
+    # per-step on-device PSNR/SSIM (the reference computes them per batch;
+    # disabling buys ~35% step time)
+    step_metrics: bool = True
 
 
 def load_params_json(path: str, recipe: str = "predef_filters") -> TrainConfig:

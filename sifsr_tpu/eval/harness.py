@@ -32,7 +32,6 @@ import pickle
 
 import numpy as np
 
-from sifsr_tpu.data.statistics import Statistics
 from sifsr_tpu.eval.lpips import LPIPS
 from sifsr_tpu.eval.metrics import gssim_np, psnr_np, ssim_np
 from sifsr_tpu.geo.tiff import read_geotiff
@@ -335,6 +334,31 @@ def compute_pair_metrics(
     }
 
 
+def save_pair_figure(crops: dict, path: str) -> None:
+    """4-panel comparison figure per pair (LST / NDVI / SR / ASTER), the
+    layout of model_perf_aster_formatds.py:469-496."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mini = min(crops["LST_ASTER"].min(), crops["LST_SR"].min())
+    maxi = max(crops["LST_ASTER"].max(), crops["LST_SR"].max())
+    fig, axes = plt.subplots(2, 2, figsize=(14, 12))
+    panels = [
+        ("LST MODIS", crops["LST:"], "jet", (mini, maxi)),
+        ("NDVI", crops["NDVI"], "RdYlGn", (None, None)),
+        ("MODIS LST SR", crops["LST_SR"], "jet", (mini, maxi)),
+        ("ASTER LST", crops["LST_ASTER"], "jet", (mini, maxi)),
+    ]
+    for ax, (title, img, cmap, (vmin, vmax)) in zip(axes.ravel(), panels):
+        im = ax.imshow(img, cmap=cmap, aspect="auto", vmin=vmin, vmax=vmax)
+        fig.colorbar(im, ax=ax)
+        ax.set_title(title)
+    fig.savefig(path, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+
+
 def run_evaluation(
     dataset_dir: str,
     sr_fn,
@@ -342,6 +366,7 @@ def run_evaluation(
     lpips_metric: LPIPS | None = None,
     limit: int | None = None,
     save_pairs_dir: str | None = None,
+    figures_dir: str | None = None,
     log_fn=print,
 ) -> "object":
     """Evaluate ``sr_fn(lst (64,64) K, ndvi (256,256)) -> (256,256) K`` over
@@ -364,16 +389,21 @@ def run_evaluation(
         if pair.ndvi.shape != (256, 256):
             continue
         lst_sr = sr_fn(pair.lst, pair.ndvi)
+        want_crops = bool(save_pairs_dir or figures_dir)
         result = evaluate_pair(
-            pair, aster_path, lst_sr, lpips_metric, return_crops=bool(save_pairs_dir)
+            pair, aster_path, lst_sr, lpips_metric, return_crops=want_crops
         )
         if result is None:
             log_fn(f"pair {idx}: skipped (no usable overlap)")
             continue
-        if save_pairs_dir:
+        if want_crops:
             metrics, crops = result
-            with open(os.path.join(save_pairs_dir, f"{idx}_dict_pred.pkl"), "wb") as f:
-                pickle.dump(crops, f)
+            if save_pairs_dir:
+                with open(os.path.join(save_pairs_dir, f"{idx}_dict_pred.pkl"), "wb") as f:
+                    pickle.dump(crops, f)
+            if figures_dir:
+                os.makedirs(figures_dir, exist_ok=True)
+                save_pair_figure(crops, os.path.join(figures_dir, f"{idx}_predictions_cropped.png"))
         else:
             metrics = result
         rows[idx] = metrics

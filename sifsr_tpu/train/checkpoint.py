@@ -15,7 +15,6 @@ import pickle
 from typing import Any
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["CheckpointManager", "save_final", "load_final"]

@@ -61,12 +61,17 @@ def train_loop(
     If ``checkpoint_dir`` is set, each epoch is persisted and an interrupted
     run resumes from the latest saved epoch automatically.
     """
+    import jax.lax as lax
+
     hp = config.hyper
     stats = train_ds.stats
     model = model or ModelB2(
         in_channels=config.model.in_channels,
         downchannels=tuple(config.model.downchannels),
         padding_mode=config.model.padding_mode,
+        precision=(
+            lax.Precision.DEFAULT if config.precision == "default" else lax.Precision.HIGHEST
+        ),
     )
     input_hw = (64, 64) if config.recipe == "scale_invariance" else (256, 256)
     if state is None:
@@ -74,11 +79,19 @@ def train_loop(
             model, hp.learning_rate, rng=jax.random.key(config.seed), input_hw=input_hw
         )
 
-    train_step = make_train_step(model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst)
-    eval_step = make_eval_step(model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst)
+    train_step = make_train_step(
+        model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst,
+        with_metrics=config.step_metrics,
+    )
+    eval_step = make_eval_step(
+        model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst,
+        with_metrics=config.step_metrics,
+    )
     batch_prep = _make_batch_prep(config.recipe, stats)
 
     keys = _METRIC_KEYS[config.recipe]
+    if not config.step_metrics:
+        keys = tuple(k for k in keys if k not in ("psnr", "ssim"))
     metrics: dict = {f"{split}_{_REF_NAMES[k]}": [] for split in ("train", "val") for k in keys}
     stopper = EarlyStopping(hp.n_epochs, hp.patience)
 
@@ -122,10 +135,14 @@ def train_loop(
         stopper.update(
             epoch, val_loss, {"params": state.params, "batch_stats": state.batch_stats}
         )
+        extra = (
+            f"psnr={metrics['val_psnr'][-1]:.2f}  ssim={metrics['val_ssim'][-1]:.3f}  "
+            if config.step_metrics
+            else ""
+        )
         log_fn(
             f"epoch {epoch}/{hp.n_epochs}  train_loss={metrics['train_loss'][-1]:.5f}  "
-            f"val_loss={val_loss:.5f}  psnr={metrics['val_psnr'][-1]:.2f}  "
-            f"ssim={metrics['val_ssim'][-1]:.3f}  ({time.perf_counter() - t0:.1f}s)"
+            f"val_loss={val_loss:.5f}  {extra}({time.perf_counter() - t0:.1f}s)"
         )
 
         if manager is not None:

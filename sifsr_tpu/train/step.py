@@ -22,7 +22,6 @@ the *bicubic input* (there is no HR ground truth; train_model_B_*.py:142-143)
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
