@@ -64,6 +64,8 @@ def main(argv=None):
     parser.add_argument("--statistics", type=str, default="data/statistics.json")
     parser.add_argument("--save_path", type=str, default="./predictions")
     parser.add_argument("--batch_size", type=int, default=324)
+    parser.add_argument("--overlap", type=int, default=0,
+                        help="coarse-pixel tile overlap for seamless blending (0 = reference behaviour)")
     parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
     args = parser.parse_args(argv)
 
@@ -98,6 +100,7 @@ def main(argv=None):
         variables, lst, ndvi, stats, model=model,
         batch_size=args.batch_size,
         compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        overlap=args.overlap,
     )
 
     os.makedirs(args.save_path, exist_ok=True)

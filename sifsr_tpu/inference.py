@@ -122,34 +122,98 @@ def predict_granule(
     coverage: float = 1.0,
     compute_dtype=jnp.bfloat16,
     ndvi_clip: bool = True,
+    overlap: int = 0,
+    window: int = 64,
+    factor: int = 4,
 ) -> np.ndarray:
-    """SR a whole granule; returns the (4·H, 4·W) Kelvin mosaic.
+    """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
     coverage: max allowed fraction of invalid (0 K) pixels per block before a
     block is zeroed in the output. 1.0 reproduces the reference's behaviour
     (its skip test is vacuous, predict.py:95).
+
+    overlap (coarse pixels, 0 = reference behaviour): with overlap > 0, tiles
+    are taken at stride window-overlap and blended with a separable trapezoid
+    taper — removes the visible block seams the reference accepts
+    (SURVEY.md §5 'spatial tiling'). Costs ~(window/(window-overlap))² more
+    compute.
     """
     model = model or ModelB2()
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
-    lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule)
-    n = lst_blocks.shape[0]
+    fwin = window * factor
+    sr_step = make_sr_step(model, stats, compute_dtype)
 
+    if overlap == 0:
+        lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule, window, factor)
+        n = lst_blocks.shape[0]
+        invalid_frac = (lst_blocks == 0.0).mean(axis=(1, 2))
+        keep = invalid_frac <= coverage
+
+        out = np.zeros((n, fwin, fwin), dtype=np.float32)
+        for start in range(0, n, batch_size):
+            stop = min(start + batch_size, n)
+            pad = batch_size - (stop - start)
+            lst_b = lst_blocks[start:stop]
+            ndvi_b = ndvi_blocks[start:stop]
+            if pad:  # static shapes: pad the tail batch
+                lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), np.float32)])
+                ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), np.float32)])
+            sr = np.asarray(sr_step(variables, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+            out[start:stop] = sr[: stop - start]
+
+        out[~keep] = 0.0
+        return untile_mosaic(out, grid)
+
+    # ---- overlapped tiles with trapezoid blending
+    stride = window - overlap
+    gh = lst_granule.shape[0] // window
+    gw = lst_granule.shape[1] // window
+    h_lim, w_lim = gh * window, gw * window
+    origins = []
+    ys = list(range(0, h_lim - window + 1, stride))
+    if ys[-1] != h_lim - window:
+        ys.append(h_lim - window)
+    xs = list(range(0, w_lim - window + 1, stride))
+    if xs[-1] != w_lim - window:
+        xs.append(w_lim - window)
+    for y in ys:
+        for x in xs:
+            origins.append((y, x))
+
+    lst_blocks = np.stack([lst_granule[y : y + window, x : x + window] for y, x in origins])
+    ndvi_blocks = np.stack(
+        [ndvi_granule[factor * y : factor * (y + window), factor * x : factor * (x + window)]
+         for y, x in origins]
+    )
     invalid_frac = (lst_blocks == 0.0).mean(axis=(1, 2))
     keep = invalid_frac <= coverage
 
-    sr_step = make_sr_step(model, stats, compute_dtype)
-    out = np.zeros((n, 256, 256), dtype=np.float32)
+    ramp = overlap * factor
+    taper_1d = np.ones(fwin, np.float32)
+    if ramp > 0:
+        taper_1d[:ramp] = np.linspace(1.0 / (ramp + 1), 1.0, ramp, endpoint=False)
+        taper_1d[-ramp:] = taper_1d[:ramp][::-1]
+    taper = np.outer(taper_1d, taper_1d)
+
+    acc = np.zeros((h_lim * factor, w_lim * factor), np.float64)
+    wacc = np.zeros_like(acc)
+    n = len(origins)
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         pad = batch_size - (stop - start)
         lst_b = lst_blocks[start:stop]
         ndvi_b = ndvi_blocks[start:stop]
-        if pad:  # static shapes: pad the tail batch
-            lst_b = np.concatenate([lst_b, np.zeros((pad, 64, 64), np.float32)])
-            ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, 256, 256), np.float32)])
+        if pad:
+            lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), np.float32)])
+            ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), np.float32)])
         sr = np.asarray(sr_step(variables, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
-        out[start:stop] = sr[: stop - start]
-
-    out[~keep] = 0.0
-    return untile_mosaic(out, grid)
+        for k in range(stop - start):
+            if not keep[start + k]:
+                continue
+            y, x = origins[start + k]
+            sl = np.s_[factor * y : factor * y + fwin, factor * x : factor * x + fwin]
+            acc[sl] += sr[k] * taper
+            wacc[sl] += taper
+    out = np.where(wacc > 0, acc / np.maximum(wacc, 1e-12), 0.0)
+    return out.astype(np.float32)

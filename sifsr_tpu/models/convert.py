@@ -70,8 +70,10 @@ def _map_key(key: str) -> tuple[list[str], str] | None:
                 "running_var": "bn_var",
             }[parts[3]]
             return [top, "lastbn"], kind
-    if top in ("ub1", "ub2", "ub3"):  # ubX.convbloc.bloc.N.param
-        return dc([top, "convbloc"], parts[3], parts[4])
+    if top in ("ub1", "ub2", "ub3"):
+        if parts[1] == "up":  # ConvTranspose decoder (bilinear=False models)
+            return [top, "up"], {"weight": "kernel_convT", "bias": "bias"}[parts[2]]
+        return dc([top, "convbloc"], parts[3], parts[4])  # ubX.convbloc.bloc.N.param
     if top == "outlay":  # outlay.param
         return ["outlay"], {"weight": "kernel", "bias": "bias"}[parts[1]]
     raise KeyError(f"unmapped torch key: {key}")
@@ -90,6 +92,12 @@ def convert_torch_state_dict(state_dict: dict) -> dict:
         arr = np.asarray(getattr(value, "numpy", lambda: value)()).astype(np.float32)
         if kind == "kernel":
             _assign(params, path + ["kernel"], arr.transpose(2, 3, 1, 0))  # OIHW->HWIO
+        elif kind == "kernel_convT":
+            # torch ConvTranspose2d weight is (in, out, kh, kw); flax
+            # ConvTranspose is the gradient-of-conv formulation, so its
+            # (kh, kw, in, out) kernel is the spatially flipped torch kernel
+            flipped = arr.transpose(2, 3, 0, 1)[::-1, ::-1]
+            _assign(params, path + ["kernel"], np.ascontiguousarray(flipped))
         elif kind == "bias":
             _assign(params, path + ["bias"], arr)
         elif kind == "bn_scale":

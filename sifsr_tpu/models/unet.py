@@ -143,23 +143,36 @@ class DownBlockPool(nn.Module):
 
 
 class UpBlock(nn.Module):
-    """bilinear x2 (align_corners) -> cat(x, skip) -> DoubleConv(mid=in//2)
-    (reference model.py:161-248, bilinear branch — the published configuration)."""
+    """x2 upsample -> cat(x, skip) -> DoubleConv (reference model.py:161-248).
+
+    bilinear=True (every published model): align_corners bilinear + DoubleConv
+    with mid = in//2. bilinear=False: ConvTranspose(k=2, s=2) halving the
+    channels, then DoubleConv with mid = out (reference model.py:210-213).
+    """
 
     in_features: int
     out_features: int
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.HIGHEST
+    bilinear: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool) -> jnp.ndarray:
-        x = jnp.moveaxis(upsample_bilinear_x2(jnp.moveaxis(x, -1, 1)), 1, -1)
+        if self.bilinear:
+            x = jnp.moveaxis(upsample_bilinear_x2(jnp.moveaxis(x, -1, 1)), 1, -1)
+            mid = self.in_features // 2
+        else:
+            x = nn.ConvTranspose(
+                self.in_features // 2, (2, 2), strides=(2, 2), padding="VALID",
+                precision=self.precision, name="up",
+            )(x)
+            mid = None
         # Power-of-two feature maps always line up; the reference's pad-to-match
         # (model.py:238-245) is a no-op for every published configuration.
         x = jnp.concatenate([x, skip], axis=-1)
         return DoubleConv(
             self.out_features,
-            mid_features=self.in_features // 2,
+            mid_features=mid,
             padding_mode=self.padding_mode,
             precision=self.precision,
             name="convbloc",
@@ -170,8 +183,10 @@ class ModelB2(nn.Module):
     """The SIF-CNN-SR network. Input NHWC (N, H, W, 2), output (N, H, W, 1).
 
     Constructor args mirror the reference params JSON (paramsB.json
-    modelB_parameters); ``bilinear=False`` (ConvTranspose decoder) is not
-    implemented because no released model uses it.
+    modelB_parameters). ``bilinear`` selects the decoder upsample exactly like
+    the reference's ``upfactor`` arithmetic (model.py:591-605): True (every
+    published model) = align_corners bilinear with halved encoder floor;
+    False = ConvTranspose(k=2, s=2) decoder.
     """
 
     in_channels: int = 2
@@ -180,21 +195,24 @@ class ModelB2(nn.Module):
     # HIGHEST = f32 accumulation for parity/training; DEFAULT = single-pass
     # bf16 MXU issue for serving (~3x faster, ~0.01 K output delta).
     precision: lax.Precision = lax.Precision.HIGHEST
+    bilinear: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = list(self.downchannels)
         pm = self.padding_mode
         pr = self.precision
+        up = 2 if self.bilinear else 1  # reference's upfactor (model.py:591)
+        bl = self.bilinear
 
         s0 = DoubleConv(d[0], padding_mode=pm, precision=pr, name="inbloc")(x, train)
         s1 = DownBlockPool(d[0], d[1], pm, pr, name="db1")(s0, train)
         s2 = DownBlockPool(d[1], d[2], pm, pr, name="db2")(s1, train)
-        x = DownBlockPool(d[2], d[3] // 2, pm, pr, name="db3")(s2, train)
+        x = DownBlockPool(d[2], d[3] // up, pm, pr, name="db3")(s2, train)
 
-        x = UpBlock(d[3], d[2] // 2, pm, pr, name="ub1")(x, s2, train)
-        x = UpBlock(d[2], d[1] // 2, pm, pr, name="ub2")(x, s1, train)
-        x = UpBlock(d[1], d[0], pm, pr, name="ub3")(x, s0, train)
+        x = UpBlock(d[3], d[2] // up, pm, pr, bl, name="ub1")(x, s2, train)
+        x = UpBlock(d[2], d[1] // up, pm, pr, bl, name="ub2")(x, s1, train)
+        x = UpBlock(d[1], d[0], pm, pr, bl, name="ub3")(x, s0, train)
 
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=_PAD_MODES[pm])
         return nn.Conv(1, (3, 3), padding="VALID", use_bias=True, name="outlay",

@@ -1,0 +1,66 @@
+"""Tiled granule inference: tiling round-trips, coverage, overlapped blending."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sifsr_tpu.data.statistics import Statistics
+from sifsr_tpu.inference import predict_granule, tile_granule, untile_mosaic
+from sifsr_tpu.models.unet import ModelB2
+
+STATS = Statistics(maxi=330.0, mini=260.0, mean_lst=295.0, std_lst=10.0,
+                   mean_ndvi=0.3, std_ndvi=0.25)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = ModelB2(downchannels=(8, 16, 32, 64))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
+    return model, variables
+
+
+def test_tile_untile_roundtrip(rng):
+    lst = rng.normal(size=(192, 192)).astype(np.float32)
+    ndvi = rng.normal(size=(768, 768)).astype(np.float32)
+    lst_b, ndvi_b, grid = tile_granule(lst, ndvi)
+    assert lst_b.shape == (9, 64, 64)
+    assert ndvi_b.shape == (9, 256, 256)
+    np.testing.assert_array_equal(untile_mosaic(ndvi_b, grid), ndvi)
+
+
+def test_predict_granule_shapes_and_coverage(rng, tiny_setup):
+    model, variables = tiny_setup
+    lst = (300 + 5 * rng.random((128, 128))).astype(np.float32)
+    lst[:64, :64] = 0.0  # a fully invalid block
+    ndvi = (rng.random((512, 512)) * 0.8).astype(np.float32)
+
+    out = predict_granule(variables, lst, ndvi, STATS, model=model,
+                          batch_size=4, coverage=0.05, compute_dtype=jnp.float32)
+    assert out.shape == (512, 512)
+    assert np.all(out[:256, :256] == 0.0)         # masked block
+    assert np.all(out[256:, 256:] != 0.0)         # valid block predicted
+
+
+def test_overlapped_blending_reduces_seams(rng, tiny_setup):
+    model, variables = tiny_setup
+    # smooth field -> SR output should be smooth; measure the seam jump at
+    # the block boundary with and without overlap
+    yy, xx = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+    lst = (300 + 5 * np.sin(yy / 17.0) * np.cos(xx / 23.0)).astype(np.float32)
+    ndvi = (0.5 + 0.2 * np.sin(np.arange(512) / 37.0))[None, :].repeat(512, 0).astype(np.float32)
+
+    hard = predict_granule(variables, lst, ndvi, STATS, model=model,
+                           batch_size=9, compute_dtype=jnp.float32)
+    soft = predict_granule(variables, lst, ndvi, STATS, model=model,
+                           batch_size=9, compute_dtype=jnp.float32, overlap=16)
+    assert soft.shape == hard.shape
+
+    # seam discontinuity across the fine-block boundary at row 256
+    seam_hard = np.abs(hard[256] - hard[255]).mean()
+    seam_soft = np.abs(soft[256] - soft[255]).mean()
+    assert seam_soft <= seam_hard + 1e-6
+    # interiors agree (blending is a weighted average of valid predictions)
+    interior = np.s_[64:192, 64:192]
+    assert np.abs(soft[interior] - hard[interior]).mean() < 2.0
