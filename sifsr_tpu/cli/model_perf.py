@@ -125,7 +125,7 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
 def main(argv=None):
     parser = ArgumentParser(description=__doc__)
     parser.add_argument("--sr-type", default="modelB", choices=SR_TYPES)
-    parser.add_argument("--model-dir", default="./models/modelB_1009")
+    parser.add_argument("--model-dir", default="weights/modelB_1009")
     parser.add_argument("--dataset", default="./test_data_formatted")
     parser.add_argument("--statistics", default="data/statistics.json")
     parser.add_argument("--out", default=None)

@@ -59,7 +59,7 @@ def main(argv=None):
     parser.add_argument("--red_file_path", type=str, default=None,
                         help="Red-band tif when MOD09GQ path is a NIR tif")
     parser.add_argument("--ndvi_is_precomputed", action="store_true")
-    parser.add_argument("--model_dir", type=str, default="./models/modelB_1009")
+    parser.add_argument("--model_dir", type=str, default="weights/modelB_1009")
     parser.add_argument("--model_name", type=str, default="modelB")
     parser.add_argument("--statistics", type=str, default="data/statistics.json")
     parser.add_argument("--save_path", type=str, default="./predictions")
