@@ -117,7 +117,12 @@ def train_loop(
         ):
             acc = {k: 0.0 for k in keys}
             n = 0
-            for batch in ds.batches(hp.batch_size, seed=config.seed * 100003 + epoch):
+            # drop_remainder=False matches the reference DataLoader's default
+            # drop_last=False (partial final batch included in the epoch
+            # means); costs one extra jit shape for the tail batch
+            for batch in ds.batches(
+                hp.batch_size, seed=config.seed * 100003 + epoch, drop_remainder=False
+            ):
                 prepped = batch_prep(batch)
                 if split == "train":
                     state, m = train_step(state, prepped)
