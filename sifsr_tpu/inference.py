@@ -125,6 +125,7 @@ def predict_granule(
     overlap: int = 0,
     window: int = 64,
     factor: int = 4,
+    mesh=None,
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -137,12 +138,30 @@ def predict_granule(
     taper — removes the visible block seams the reference accepts
     (SURVEY.md §5 'spatial tiling'). Costs ~(window/(window-overlap))² more
     compute.
+
+    mesh: a jax.sharding.Mesh with a 'data' axis shards every SR batch across
+    its devices (variables replicated; XLA partitions the forward — granule
+    tiles are embarrassingly parallel). batch_size should be a multiple of
+    the mesh size.
     """
     model = model or ModelB2()
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
     fwin = window * factor
     sr_step = make_sr_step(model, stats, compute_dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data_shard = NamedSharding(mesh, P("data"))
+        variables = jax.tree.map(lambda a: jax.device_put(a, repl), variables)
+        base_step = sr_step
+
+        def sr_step(v, lst_b, ndvi_b):  # noqa: F811 — sharded wrapper
+            lst_b = jax.device_put(lst_b, data_shard)
+            ndvi_b = jax.device_put(ndvi_b, data_shard)
+            return base_step(v, lst_b, ndvi_b)
 
     if overlap == 0:
         lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule, window, factor)

@@ -64,3 +64,20 @@ def test_overlapped_blending_reduces_seams(rng, tiny_setup):
     # interiors agree (blending is a weighted average of valid predictions)
     interior = np.s_[64:192, 64:192]
     assert np.abs(soft[interior] - hard[interior]).mean() < 2.0
+
+
+def test_predict_granule_sharded_matches_single(rng, tiny_setup):
+    """Mesh-sharded granule SR equals the single-device result (tiles are
+    independent; SPMD is semantics-preserving)."""
+    from sifsr_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_setup
+    lst = (300 + 5 * rng.random((128, 128))).astype(np.float32)
+    ndvi = (rng.random((512, 512)) * 0.8).astype(np.float32)
+
+    single = predict_granule(variables, lst, ndvi, STATS, model=model,
+                             batch_size=4, compute_dtype=jnp.float32)
+    sharded = predict_granule(variables, lst, ndvi, STATS, model=model,
+                              batch_size=4, compute_dtype=jnp.float32,
+                              mesh=make_mesh(4))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
