@@ -31,12 +31,27 @@ def main():
                        mean_ndvi=0.3, std_ndvi=0.25)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
 
-    # two serving layouts: BN-folded NHWC, and space-to-depth packed (the
-    # level-0 layers run at 128² x 4C so elementwise passes aren't 8x
-    # lane-padded); pick whichever is faster on this chip today
+    # serving paths: BN-folded bf16 NHWC; space-to-depth packed; and
+    # static-calibrated int8 (int8 MXU convs + fully-fused requant chain —
+    # quality measured at ~0.07 K RMSE vs f32 on held-out real pairs, see
+    # models/quantized.py). Pick whichever is fastest on this chip today.
+    from sifsr_tpu.models.quantized import (
+        calibrate_activation_scales,
+        make_int8_sr_step,
+        quantize_serving_params,
+    )
+
+    cal_rng = np.random.default_rng(1)
+    cal_lst = (290.0 + 5.0 * cal_rng.random((8, 64, 64))).astype(np.float32)
+    cal_ndvi = (cal_rng.random((8, 256, 256)) * 0.8).astype(np.float32)
+    qparams = calibrate_activation_scales(
+        variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats
+    )
+
     candidates = {
         "bn_folded": (make_sr_step(model, stats), variables),
         "s2d_packed": (make_packed_sr_step(stats), pack_serving_params(variables)),
+        "int8_static": (make_int8_sr_step(stats), qparams),
     }
 
     rng = np.random.default_rng(0)
