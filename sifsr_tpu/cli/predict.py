@@ -67,6 +67,8 @@ def main(argv=None):
     parser.add_argument("--overlap", type=int, default=0,
                         help="coarse-pixel tile overlap for seamless blending (0 = reference behaviour)")
     parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 quantized serving (~1.4x faster, ~0.07 K RMSE vs f32)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -96,12 +98,46 @@ def main(argv=None):
     ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
     print(f"LST {lst.shape}, NDVI {ndvi.shape}")
 
-    mosaic = predict_granule(
-        variables, lst, ndvi, stats, model=model,
-        batch_size=args.batch_size,
-        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        overlap=args.overlap,
-    )
+    if args.int8:
+        # quantize + calibrate on a sample of the granule's own valid blocks
+        import numpy as _np
+
+        from sifsr_tpu.inference import tile_granule
+        from sifsr_tpu.models.quantized import (
+            calibrate_activation_scales,
+            make_int8_sr_step,
+            quantize_serving_params,
+        )
+
+        lst_b, ndvi_b, grid = tile_granule(lst, _np.clip(ndvi, -1, 1))
+        valid = (lst_b != 0).all(axis=(1, 2))
+        sel = _np.nonzero(valid)[0][:8]
+        qparams = calibrate_activation_scales(
+            variables, quantize_serving_params(variables), lst_b[sel], ndvi_b[sel], stats
+        )
+        step = make_int8_sr_step(stats)
+        from sifsr_tpu.inference import untile_mosaic
+
+        n = lst_b.shape[0]
+        out = _np.zeros((n, 256, 256), _np.float32)
+        bsz = args.batch_size
+        for start in range(0, n, bsz):
+            stop = min(start + bsz, n)
+            pad = bsz - (stop - start)
+            lb, nb = lst_b[start:stop], ndvi_b[start:stop]
+            if pad:
+                lb = _np.concatenate([lb, _np.zeros((pad, 64, 64), _np.float32)])
+                nb = _np.concatenate([nb, _np.zeros((pad, 256, 256), _np.float32)])
+            out[start:stop] = _np.asarray(step(qparams, jnp.asarray(lb), jnp.asarray(nb)))[: stop - start]
+        out[~valid] = 0.0
+        mosaic = untile_mosaic(out, grid)
+    else:
+        mosaic = predict_granule(
+            variables, lst, ndvi, stats, model=model,
+            batch_size=args.batch_size,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            overlap=args.overlap,
+        )
 
     os.makedirs(args.save_path, exist_ok=True)
     out = os.path.join(args.save_path, "prediction.tiff")
