@@ -77,3 +77,29 @@ def test_calibration_attaches_static_scales(rng):
     out = np.asarray(i8_step(qp_cal, jnp.asarray(lst), jnp.asarray(ndvi)))
     assert np.isfinite(out).all()
     assert 280 < out.mean() < 330
+
+
+def test_int8_packed_path_quality(rng):
+    """The composed int8+packed path (see models/quantized_packed.py for the
+    measured perf verdict) must match the f32 path within quantization noise."""
+    from sifsr_tpu.models.quantized_packed import (
+        calibrate_packed_scales,
+        make_int8_packed_sr_step,
+        quantize_packed_params,
+    )
+
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    cal_lst = (305.0 + 4.0 * rng.random((2, 64, 64))).astype(np.float32)
+    cal_ndvi = (0.4 + 0.4 * rng.random((2, 256, 256))).astype(np.float32)
+    qpp = calibrate_packed_scales(
+        variables, quantize_packed_params(variables), cal_lst, cal_ndvi, STATS
+    )
+    model = ModelB2()
+    f32_step = make_sr_step(model, STATS, compute_dtype=jnp.float32)
+    i8p_step = make_int8_packed_sr_step(STATS)
+    a = np.asarray(f32_step(variables, jnp.asarray(cal_lst), jnp.asarray(cal_ndvi)))
+    b = np.asarray(i8p_step(qpp, jnp.asarray(cal_lst), jnp.asarray(cal_ndvi)))
+    d = np.abs(a - b)
+    assert np.sqrt((d**2).mean()) < 0.3
