@@ -74,7 +74,10 @@ def ds_loss(
     import jax
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # auto only on single-chip TPU: under a real multi-chip pjit the
+        # pallas_call would need shard_map plumbing (future work) — the
+        # matmul path partitions automatically
+        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
     if use_pallas:
         from sifsr_tpu.pallas.fused_ops import fused_psf_downscale
 
