@@ -77,3 +77,12 @@ def test_missing_sds_raises(tmp_path, rng):
     write_hdf4_sds(path, {"a": np.zeros((4, 4), np.float32)})
     with pytest.raises(KeyError):
         HDF4File(path).read_sds("nope")
+
+
+def test_read_modis_lst_night(tmp_path, rng):
+    dn = (rng.random((16, 16)) * 15000 + 10000).astype(np.uint16)
+    path = str(tmp_path / "night.hdf")
+    write_hdf4_sds(path, {"LST_Night_1km": dn, "QC_Night": np.zeros((16, 16), np.uint8)},
+                   struct_metadata=STRUCT_META)
+    lst, gt = read_modis_lst(path, "night")
+    np.testing.assert_allclose(lst, dn.astype(np.float32) * 0.02, rtol=1e-6)
