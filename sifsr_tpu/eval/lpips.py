@@ -68,8 +68,10 @@ class LPIPS:
         total = 0.0
         for layer, w in zip(LPIPS_LAYERS, self._layer_weights):
             fa, fb = taps_a[layer], taps_b[layer]
-            fa = fa / jnp.sqrt(jnp.sum(fa * fa, axis=-1, keepdims=True) + 1e-10)
-            fb = fb / jnp.sqrt(jnp.sum(fb * fb, axis=-1, keepdims=True) + 1e-10)
+            # piq normalises as x / (||x|| + eps), NOT x / sqrt(||x||²+eps)
+            # (reference lpips.py:281-292)
+            fa = fa / (jnp.sqrt(jnp.sum(fa * fa, axis=-1, keepdims=True)) + 1e-10)
+            fb = fb / (jnp.sqrt(jnp.sum(fb * fb, axis=-1, keepdims=True)) + 1e-10)
             sq = jnp.square(fa - fb) * jnp.asarray(w)[None, None, None, :]
             total = total + jnp.mean(jnp.sum(sq, axis=-1), axis=(1, 2))
         return jnp.mean(total)

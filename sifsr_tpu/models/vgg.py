@@ -55,13 +55,19 @@ class VGG16Features(nn.Module):
 
 
 def convert_torchvision_vgg16(state_dict: dict) -> dict:
-    """torchvision VGG16 state_dict (``features.N.weight/bias``) -> flax params."""
+    """torchvision VGG16 state_dict -> flax params.
+
+    Accepts either the full-model key layout (``features.N.weight/bias``) or a
+    features-only ``Sequential`` state_dict (``N.weight/bias``), since users may
+    save ``vgg16().state_dict()`` or ``vgg16().features.state_dict()``.
+    """
+    prefix = "features." if any(k.startswith("features.") for k in state_dict) else ""
     params = {}
     for name, _, idx in _CFG:
         if idx is None:
             continue
-        w = np.asarray(state_dict[f"features.{idx}.weight"])  # OIHW
-        b = np.asarray(state_dict[f"features.{idx}.bias"])
+        w = np.asarray(state_dict[f"{prefix}{idx}.weight"])  # OIHW
+        b = np.asarray(state_dict[f"{prefix}{idx}.bias"])
         params[name] = {
             "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
             "bias": b.astype(np.float32),
