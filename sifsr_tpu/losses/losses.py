@@ -62,6 +62,8 @@ def ds_loss(
     factor: int = 4,
     mtf: float = 0.1,
     use_pallas: bool | None = None,
+    mesh=None,
+    axis_name: str = "data",
 ) -> jnp.ndarray:
     """Reconstruction loss: un-normalise the SR patch, degrade it through the
     sensor PSF model back to input resolution, re-normalise, Huber vs the
@@ -70,20 +72,34 @@ def ds_loss(
     On TPU the whole unnorm->degrade->renorm chain runs as one fused Pallas
     kernel (~13x faster than the XLA matmul chain, with a custom linear VJP);
     elsewhere the per-axis matmul path is used.
+
+    Multi-chip: the degradation is strictly per-image, so under a mesh the
+    kernel is shard_mapped over the batch axis (``mesh``/``axis_name`` — pass
+    the training mesh from make_train_step). Without a mesh the pallas path
+    auto-enables only on single-chip TPU; the matmul path partitions itself.
     """
     import jax
 
     if use_pallas is None:
-        # auto only on single-chip TPU: under a real multi-chip pjit the
-        # pallas_call would need shard_map plumbing (future work) — the
-        # matmul path partitions automatically
-        use_pallas = jax.default_backend() == "tpu" and jax.device_count() == 1
+        use_pallas = jax.default_backend() == "tpu" and (
+            mesh is not None or jax.device_count() == 1
+        )
     if use_pallas:
         from sifsr_tpu.pallas.fused_ops import fused_psf_downscale
 
-        down = fused_psf_downscale(
-            sr[..., 0], float(mean_lst), float(std_lst), factor=factor, mtf=mtf
-        )[..., None]
+        def degrade(x):
+            return fused_psf_downscale(
+                x, float(mean_lst), float(std_lst), factor=factor, mtf=mtf
+            )
+
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(axis_name)
+            # check_vma=False: pallas_call outputs carry no vma annotation
+            degrade = jax.shard_map(degrade, mesh=mesh, in_specs=spec,
+                                    out_specs=spec, check_vma=False)
+        down = degrade(sr[..., 0])[..., None]
         return huber(down, lst)
     sr_unnorm = sr * std_lst + mean_lst
     down = downscale_lst_sr_to_lr(_nhwc_to_nchw(sr_unnorm), factor=factor, mtf=mtf)
@@ -115,8 +131,10 @@ def sif_loss_predef(
     gamma: float,
     mean_lst: float,
     std_lst: float,
+    mesh=None,
+    axis_name: str = "data",
 ) -> tuple[jnp.ndarray, dict]:
-    dsl = ds_loss(sr, lst, mean_lst, std_lst)
+    dsl = ds_loss(sr, lst, mean_lst, std_lst, mesh=mesh, axis_name=axis_name)
     pl = percep_loss_predef(sr, ndvi, gamma)
     total = alpha * dsl + (1.0 - alpha) * pl
     return total, {"ds_loss": dsl, "percep_loss": pl}
@@ -130,8 +148,10 @@ def sif_loss_gradftm(
     gamma: float,
     mean_lst: float,
     std_lst: float,
+    mesh=None,
+    axis_name: str = "data",
 ) -> tuple[jnp.ndarray, dict]:
-    dsl = ds_loss(sr, lst, mean_lst, std_lst)
+    dsl = ds_loss(sr, lst, mean_lst, std_lst, mesh=mesh, axis_name=axis_name)
     pl = percep_loss_gradftm(sr, ndvi, gamma)
     total = alpha * dsl + (1.0 - alpha) * pl
     return total, {"ds_loss": dsl, "percep_loss": pl}

@@ -40,11 +40,13 @@ __all__ = ["make_train_step", "make_eval_step"]
 RECIPES = ("predef_filters", "gradftm", "scale_invariance")
 
 
-def _loss_and_aux(recipe, sr, batch, alpha, gamma, mean_lst, std_lst):
+def _loss_and_aux(recipe, sr, batch, alpha, gamma, mean_lst, std_lst, mesh=None):
     if recipe == "predef_filters":
-        return sif_loss_predef(sr, batch["lst"], batch["ndvi"], alpha, gamma, mean_lst, std_lst)
+        return sif_loss_predef(sr, batch["lst"], batch["ndvi"], alpha, gamma,
+                               mean_lst, std_lst, mesh=mesh)
     if recipe == "gradftm":
-        return sif_loss_gradftm(sr, batch["lst"], batch["ndvi"], alpha, gamma, mean_lst, std_lst)
+        return sif_loss_gradftm(sr, batch["lst"], batch["ndvi"], alpha, gamma,
+                                mean_lst, std_lst, mesh=mesh)
     if recipe == "scale_invariance":
         return scale_invariance_loss(sr, batch["lst"])
     raise ValueError(f"unknown recipe {recipe!r}; expected one of {RECIPES}")
@@ -63,8 +65,13 @@ def make_train_step(
     mean_lst: float,
     std_lst: float,
     with_metrics: bool = True,
+    mesh=None,
 ):
-    """Build the jitted train step: (state, batch) -> (state, metrics dict)."""
+    """Build the jitted train step: (state, batch) -> (state, metrics dict).
+
+    ``mesh``: the training Mesh when running multi-chip — threads through to
+    ds_loss so the fused Pallas degradation kernel runs shard_mapped over the
+    batch axis instead of falling back to the matmul chain."""
 
     @jax.jit
     def train_step(state: SifTrainState, batch: dict):
@@ -76,7 +83,8 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, parts = _loss_and_aux(recipe, sr, batch, alpha, gamma, mean_lst, std_lst)
+            total, parts = _loss_and_aux(recipe, sr, batch, alpha, gamma,
+                                         mean_lst, std_lst, mesh=mesh)
             return total, (updates["batch_stats"], parts, sr)
 
         (total, (new_bs, parts, sr)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -101,6 +109,7 @@ def make_eval_step(
     mean_lst: float,
     std_lst: float,
     with_metrics: bool = True,
+    mesh=None,
 ):
     """Build the jitted eval step: (state, batch) -> metrics dict."""
 
@@ -110,7 +119,8 @@ def make_eval_step(
         sr = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
         )
-        total, parts = _loss_and_aux(recipe, sr, batch, alpha, gamma, mean_lst, std_lst)
+        total, parts = _loss_and_aux(recipe, sr, batch, alpha, gamma,
+                                     mean_lst, std_lst, mesh=mesh)
         metrics = {"loss": total, **parts}
         if with_metrics:
             target = _metric_target(recipe, batch)[..., 0]

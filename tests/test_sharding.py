@@ -109,3 +109,51 @@ def test_parallel_apply_keeps_outputs_sharded(rng, tiny_model):
     out = papply(variables, x)
     assert out.shape == (16, 64, 64, 1)
     assert out.sharding == NamedSharding(mesh, P("data"))
+
+
+def test_shard_mapped_pallas_ds_loss_matches_matmul_path(rng):
+    """The fused Pallas ds-loss under a mesh (interpret mode standing in for
+    real chips) must equal the auto-partitioned matmul path, forward AND
+    gradient — losses.py no longer falls back multi-chip when a mesh is
+    passed (VERDICT round-1 item 4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sifsr_tpu.losses.losses import ds_loss
+
+    mesh = make_mesh(8)
+    sr = jax.device_put(
+        rng.normal(size=(16, 64, 64, 1)).astype(np.float32),
+        NamedSharding(mesh, P("data")),
+    )
+    lst = jax.device_put(
+        rng.normal(size=(16, 16, 16, 1)).astype(np.float32),
+        NamedSharding(mesh, P("data")),
+    )
+
+    def loss_pallas(sr, lst):
+        return ds_loss(sr, lst, 295.0, 10.0, use_pallas=True, mesh=mesh)
+
+    def loss_matmul(sr, lst):
+        return ds_loss(sr, lst, 295.0, 10.0, use_pallas=False)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_p, g_p = jax.value_and_grad(loss_pallas)(sr, lst)
+    v_m, g_m = jax.value_and_grad(loss_matmul)(sr, lst)
+    assert np.isclose(float(v_p), float(v_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_m), atol=1e-5)
+
+
+def test_train_step_with_mesh_runs_sharded(rng, tiny_model):
+    """make_train_step(mesh=...) compiles and runs under the 8-device mesh
+    (the dryrun_multichip configuration)."""
+    mesh = make_mesh(8)
+    state = create_train_state(tiny_model, 1e-3, rng=jax.random.key(0), input_hw=(64, 64))
+    state = replicate(state, mesh)
+    step = make_train_step(
+        tiny_model, "predef_filters", alpha=0.99, gamma=-0.5,
+        mean_lst=295.0, std_lst=10.0, mesh=mesh,
+    )
+    pstep = make_parallel_train_step(step, mesh)
+    batch = shard_batch(_batch(rng, 16), mesh)
+    state, metrics = pstep(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
