@@ -1,0 +1,300 @@
+"""The fastest serving path: int8 + space-to-depth + Pallas pair-conv.
+
+Composition of the three serving optimisations, aimed at the BASELINE.md
+north-star (>=10k 64->256 patches/s/chip):
+
+- the three heavy 256²-resolution convs (inbloc.conv2, ub3.conv1, ub3.conv2 —
+  together ~40% of the model's FLOPs at the *worst* MXU utilisation) run in
+  the fused int8 Pallas pair-conv kernel (pallas/conv_i8.py, measured 3.2x
+  the XLA int8 layer on v5e);
+- ub3.conv1's skip concat is never materialised: conv(concat(up, skip)) =
+  conv_a(up) + conv_b(skip) with per-half input scales and per-half
+  per-channel weight scales (slightly *better* quantization fidelity than
+  the concat form);
+- inter-layer tensors at 256² live in HBM as int8; dequant/bias/ReLU/requant
+  are fused into the kernel epilogue;
+- inbloc.conv1 (2->16, tiny) and outlay (16->1, tiny) run as XLA int8 convs
+  in the packed domain; the mid-resolution encoder/decoder reuses the
+  proven int8 XLA path from models/quantized_packed.py.
+
+Everything is calibrated statically from sample patches (per-tensor input
+scales with headroom, per-output-channel weight scales), mirroring
+models/quantized.calibrate_activation_scales.
+
+Numerical contract: equivalent to the BN-folded ModelB_2 forward (reference
+model.py:608-645) within int8 quantization error; measured end-to-end on the
+real released weights in tests/test_pallas_serving.py and on the ASTER
+harness (EVAL_RESULTS.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sifsr_tpu.models.fused import fold_batchnorm, upsample_bilinear_x2_nhwc
+from sifsr_tpu.models.packed import (
+    _packed_concat,
+    _packed_resize,
+    _phase_matrices,
+    _depth_to_space,
+    _replicate_pad_packed,
+    _space_to_depth,
+    pack_conv_weights,
+    pack_serving_params,
+)
+from sifsr_tpu.models.quantized import _quantize_kernel
+from sifsr_tpu.pallas.conv_i8 import (
+    conv_i8_pairs,
+    conv_i8_pairs_dual,
+    pack_tap_weights,
+    packed_from_pairs,
+    pairs_ab_from_padded,
+)
+
+__all__ = ["build_pallas_serving_params", "make_pallas_sr_step"]
+
+
+def _qleaf(kernel, bias) -> dict:
+    q, s = _quantize_kernel(np.asarray(kernel))
+    return {"q": jnp.asarray(q), "scale": jnp.asarray(s),
+            "bias": jnp.asarray(np.asarray(bias, np.float32))}
+
+
+# ---------------------------------------------------------------- calibration
+
+def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
+    """Run the f32 packed forward (models/packed.packed_forward graph) on
+    calibration patches, recording max|x| of every tensor that gets an int8
+    scale. Returns (record dict, mid-path input maxes dict)."""
+    rec: dict = {}
+    mid_rec: dict = {}
+
+    def conv_mid(x, tree, path, relu=True):
+        mid_rec[path] = float(jnp.max(jnp.abs(x)))
+        xx = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        y = lax.conv_general_dilated(
+            xx, jnp.asarray(tree["kernel"]), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        ) + jnp.asarray(tree["bias"])
+        return jnp.maximum(y, 0.0) if relu else y
+
+    def conv_packed(x, wp_bp, c_in, relu=True):
+        xx = _replicate_pad_packed(x, c_in)
+        y = lax.conv_general_dilated(
+            xx, jnp.asarray(wp_bp[0]), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        ) + jnp.asarray(wp_bp[1])
+        return jnp.maximum(y, 0.0) if relu else y
+
+    lst_n = (jnp.asarray(sample_lst, jnp.float32) - stats.mean_lst) / stats.std_lst
+    ndvi_n = (jnp.asarray(sample_ndvi, jnp.float32) - stats.mean_ndvi) / stats.std_ndvi
+    h = sample_lst.shape[1]
+    lst_up_p = _packed_resize(lst_n[..., None], jnp.asarray(_phase_matrices(h, 4 * h, "cubic")))
+    ndvi_p = _space_to_depth(ndvi_n[..., None])
+
+    mid, pk = pp["mid"], pp["packed"]
+    c0 = 16
+    x = _packed_concat(lst_up_p, 1, ndvi_p, 1)
+    rec["in1"] = float(jnp.max(jnp.abs(x)))
+    x = conv_packed(x, pk["in_conv1"], 2)
+    rec["in2"] = float(jnp.max(jnp.abs(x)))
+    s0p = conv_packed(x, pk["in_conv2"], c0)
+    rec["s0"] = float(jnp.max(jnp.abs(s0p)))
+
+    n, hh, ww, _ = s0p.shape
+
+    def double_mid(x, tree, base):
+        x = conv_mid(x, tree["conv1"]["conv"], base + ("conv1", "conv"))
+        return conv_mid(x, tree["conv2"]["conv"], base + ("conv2", "conv"))
+
+    def down_body(x, tree, base):
+        x = x + double_mid(x, tree["res"], base + ("res",))
+        return conv_mid(x, tree["lastconv"]["conv"], base + ("lastconv", "conv"))
+
+    def down(x, tree, base):
+        nn_, h_, w_, c_ = x.shape
+        x = jnp.mean(x.reshape(nn_, h_ // 2, 2, w_ // 2, 2, c_), axis=(2, 4))
+        return down_body(x, tree, base)
+
+    s1 = down_body(s0p.reshape(n, hh, ww, 4, c0).mean(axis=3), mid["db1"], ("db1",))
+    s2 = down(s1, mid["db2"], ("db2",))
+    t = down(s2, mid["db3"], ("db3",))
+    t = double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s2], -1),
+                   mid["ub1"]["convbloc"], ("ub1", "convbloc"))
+    t = double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s1], -1),
+                   mid["ub2"]["convbloc"], ("ub2", "convbloc"))
+    up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
+    rec["up"] = float(jnp.max(jnp.abs(up_p)))
+    u31 = conv_packed(_packed_concat(up_p, c0, s0p, c0), pk["ub3_conv1"], 2 * c0)
+    rec["u32"] = float(jnp.max(jnp.abs(u31)))
+    u32 = conv_packed(u31, pk["ub3_conv2"], c0)
+    rec["ol"] = float(jnp.max(jnp.abs(u32)))
+    return rec, mid_rec
+
+
+def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
+                                stats, headroom: float = 1.05) -> dict:
+    """ModelB2 variables + calibration patches -> the full parameter tree for
+    make_pallas_sr_step. sample_lst (N,64,64) Kelvin, sample_ndvi (N,256,256)."""
+    pp = jax.device_get(pack_serving_params(variables))
+    rec, mid_rec = _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats)
+    s = {k: v / 127.0 * headroom for k, v in rec.items()}
+
+    pk = pp["packed"]
+
+    # XLA int8 leaves: in_conv1 (packed 8->64), outlay (packed 64->4)
+    in1 = _qleaf(*pk["in_conv1"])
+    in1["in_scale"] = jnp.float32(s["in1"])
+    ol = _qleaf(*pk["outlay"])
+    ol["in_scale"] = jnp.float32(s["ol"])
+
+    def pallas_leaf(wp_bp, s_in, s_out):
+        """One single-input pallas conv: int8 taps + folded scale/bias.
+        s_out=None -> f32 output (no requant fold)."""
+        q, sw = _quantize_kernel(np.asarray(wp_bp[0]))
+        taps = pack_tap_weights(q)
+        comb = s_in * sw
+        b = np.asarray(wp_bp[1], np.float64)
+        if s_out is not None:
+            comb, b = comb / s_out, b / s_out
+        return {
+            "taps": jnp.asarray(taps),
+            "scale": jnp.asarray(np.tile(comb, 2).astype(np.float32)),
+            "bias": jnp.asarray(np.tile(b, 2).astype(np.float32)),
+        }
+
+    # inbloc.conv2: int8(in2 scale) -> int8(s0 scale)
+    in2 = pallas_leaf(pk["in_conv2"], s["in2"], s["s0"])
+
+    # ub3.conv1 split halves: packed input channel j = (qr)*32 + c,
+    # c<16 = up path (concat order in packed_forward), c>=16 = skip (s0p)
+    w31, b31 = pk["ub3_conv1"]
+    w31 = np.asarray(w31).reshape(3, 3, 4, 32, 64)
+    wa = w31[:, :, :, :16].reshape(3, 3, 64, 64)
+    wb = w31[:, :, :, 16:].reshape(3, 3, 64, 64)
+    qa, swa = _quantize_kernel(wa)
+    qb, swb = _quantize_kernel(wb)
+    u31 = {
+        "taps_a": jnp.asarray(pack_tap_weights(qa)),
+        "taps_b": jnp.asarray(pack_tap_weights(qb)),
+        "scale_a": jnp.asarray(np.tile(s["up"] * swa / s["u32"], 2).astype(np.float32)),
+        "scale_b": jnp.asarray(np.tile(s["s0"] * swb / s["u32"], 2).astype(np.float32)),
+        "bias": jnp.asarray(np.tile(np.asarray(b31, np.float64) / s["u32"], 2).astype(np.float32)),
+    }
+
+    # ub3.conv2: int8(u32) -> int8(ol)
+    u32 = pallas_leaf(pk["ub3_conv2"], s["u32"], s["ol"])
+
+    # mid chain: per-conv int8 leaves with calibrated static input scales
+    def walk_mid(node, base=()):
+        if isinstance(node, dict) and "kernel" in node:
+            leaf = _qleaf(node["kernel"], node["bias"])
+            leaf["in_scale"] = jnp.float32(mid_rec[base] / 127.0 * headroom)
+            return leaf
+        return {k: walk_mid(v, base + (k,)) for k, v in node.items()}
+
+    mid = {k: walk_mid(v, (k,)) for k, v in pp["mid"].items()
+           if k not in ("inbloc", "ub3", "outlay")}
+
+    return {
+        "in1": in1, "in2": in2, "u31": u31, "u32": u32, "ol": ol, "mid": mid,
+        "s": {k: jnp.float32(v) for k, v in s.items()},
+    }
+
+
+# -------------------------------------------------------------- serving step
+
+def _quant(x, scale):
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _conv_i8_packed_pre(x_q, leaf, c_in, s_in, relu=True):
+    """XLA int8 packed conv on an already-quantized input."""
+    xq = _replicate_pad_packed(x_q, c_in)
+    y = lax.conv_general_dilated(
+        xq, leaf["q"], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_in * leaf["scale"]) + leaf["bias"]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _pairs(x_q):
+    return pairs_ab_from_padded(_replicate_pad_packed(x_q, 16))
+
+
+def make_pallas_sr_step(stats, interpret: bool | None = None):
+    """Pallas-serving twin of inference.make_sr_step:
+    (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
+    interpret defaults to True off-TPU (pallas interpreter for CPU tests)."""
+    from sifsr_tpu.models.quantized_packed import _double_mid, _down, _down_body
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def sr_step(params, lst_blocks, ndvi_blocks):
+        mid, s = params["mid"], params["s"]
+        lst_n = (lst_blocks - stats.mean_lst) / stats.std_lst
+        ndvi_n = (ndvi_blocks - stats.mean_ndvi) / stats.std_ndvi
+        h = lst_blocks.shape[1]
+        hp = 2 * h
+        lst_up_p = _packed_resize(lst_n[..., None],
+                                  jnp.asarray(_phase_matrices(h, 4 * h, "cubic")))
+        ndvi_p = _space_to_depth(ndvi_n[..., None])
+        x = _packed_concat(lst_up_p, 1, ndvi_p, 1)          # (N, hp, hp, 8) f32
+
+        # inbloc.conv1 (XLA int8) -> requant to in2's scale
+        y = _conv_i8_packed_pre(_quant(x, params["in1"]["in_scale"]),
+                                params["in1"], 2, params["in1"]["in_scale"])
+        s1q = _quant(y, s["in2"])                            # int8 (N,hp,hp,64)
+
+        # inbloc.conv2 (pallas) -> s0p int8 at the s0 scale
+        xa, xb = _pairs(s1q)
+        s0p = packed_from_pairs(
+            conv_i8_pairs(xa, xb, params["in2"]["taps"], params["in2"]["scale"],
+                          params["in2"]["bias"], hp, hp, interpret=interpret),
+            hp, hp)
+
+        # mid chain (proven XLA int8 path), fed by the dequantised phase-mean
+        n = s0p.shape[0]
+        s1_in = s0p.reshape(n, hp, hp, 4, 16).astype(jnp.float32).mean(axis=3) * s["s0"]
+        s1m = _down_body(s1_in, mid["db1"])
+        s2 = _down(s1m, mid["db2"])
+        t = _down(s2, mid["db3"])
+        t = _double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s2], -1),
+                        mid["ub1"]["convbloc"])
+        t = _double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s1m], -1),
+                        mid["ub2"]["convbloc"])
+
+        # ub3.conv1 (pallas dual: up-path + skip, concat-free)
+        up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
+        za, zb = _pairs(_quant(up_p, s["up"]))
+        sa, sb = _pairs(s0p)
+        u31 = packed_from_pairs(
+            conv_i8_pairs_dual(za, zb, sa, sb,
+                               params["u31"]["taps_a"], params["u31"]["taps_b"],
+                               params["u31"]["scale_a"], params["u31"]["scale_b"],
+                               params["u31"]["bias"], hp, hp, interpret=interpret),
+            hp, hp)
+
+        # ub3.conv2 (pallas)
+        ya, yb = _pairs(u31)
+        olp = packed_from_pairs(
+            conv_i8_pairs(ya, yb, params["u32"]["taps"], params["u32"]["scale"],
+                          params["u32"]["bias"], hp, hp, interpret=interpret),
+            hp, hp)
+
+        # outlay (XLA int8, input already quantized at the ol scale)
+        yol = _conv_i8_packed_pre(olp, params["ol"], 16, params["ol"]["in_scale"],
+                                  relu=False)                # (N,hp,hp,4)
+        sr = _depth_to_space(yol, 1)[..., 0]
+        return sr * stats.std_lst + stats.mean_lst
+
+    return sr_step

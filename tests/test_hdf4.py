@@ -86,3 +86,104 @@ def test_read_modis_lst_night(tmp_path, rng):
                    struct_metadata=STRUCT_META)
     lst, gt = read_modis_lst(path, "night")
     np.testing.assert_allclose(lst, dn.astype(np.float32) * 0.02, rtol=1e-6)
+
+
+# ---------------------------------------------------------- corrupt inputs
+# VERDICT round-1 item 9: the reader must fail *cleanly* on malformed files —
+# HDF4Error (or KeyError for missing SDS), never struct.error/IndexError/
+# zlib.error leaking out, never a hang.
+
+
+def _valid_file(tmp_path, deflate=False):
+    import numpy as np
+
+    from sifsr_tpu.geo.hdf4 import write_hdf4_sds
+
+    path = str(tmp_path / ("v_defl.hdf" if deflate else "v.hdf"))
+    arr = (np.arange(64 * 48) % 251).astype(np.uint16).reshape(64, 48)
+    meta = (
+        'GROUP=GRID\n\t\tXDim=48\n\t\tYDim=64\n'
+        '\t\tUpperLeftPointMtrs=(-1111950.519667,5559752.598333)\n'
+        '\t\tLowerRightMtrs=(0.0,4447802.078667)\nEND_GROUP=GRID\n'
+    )
+    write_hdf4_sds(path, {"LST_Day_1km": arr}, struct_metadata=meta, deflate=deflate)
+    return path
+
+
+def _expect_clean(data, tmp_path, name):
+    """Reader must either succeed or raise a *clean* error on these bytes."""
+    import pytest  # noqa: F401
+
+    from sifsr_tpu.geo.hdf4 import HDF4Error, HDF4File
+
+    p = tmp_path / name
+    p.write_bytes(data)
+    try:
+        f = HDF4File(str(p))
+        for sds in f.sds_names():
+            f.read_sds(sds)
+        f.grid_geotransform()
+    except (HDF4Error, KeyError, NotImplementedError):
+        pass  # clean, typed failure
+    # any other exception propagates and fails the test
+
+
+def test_corrupt_not_hdf(tmp_path):
+    _expect_clean(b"GIF89a not an hdf file at all", tmp_path, "bad_magic.hdf")
+
+
+def test_corrupt_truncations(tmp_path):
+    data = open(_valid_file(tmp_path), "rb").read()
+    for cut in [4, 5, 9, 10, 17, 40, len(data) // 3, len(data) // 2, len(data) - 1]:
+        _expect_clean(data[:cut], tmp_path, f"trunc_{cut}.hdf")
+
+
+def test_corrupt_byte_flips(tmp_path):
+    import numpy as np
+
+    data = bytearray(open(_valid_file(tmp_path), "rb").read())
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        mut = bytearray(data)
+        for _ in range(rng.integers(1, 6)):
+            pos = int(rng.integers(4, len(mut)))
+            mut[pos] = int(rng.integers(0, 256))
+        _expect_clean(bytes(mut), tmp_path, f"flip_{trial}.hdf")
+
+
+def test_corrupt_deflate_stream(tmp_path):
+    data = bytearray(open(_valid_file(tmp_path, deflate=True), "rb").read())
+    # corrupt the tail (inside the compressed payload)
+    for pos in range(len(data) - 20, len(data)):
+        data[pos] ^= 0xFF
+    _expect_clean(bytes(data), tmp_path, "bad_deflate.hdf")
+
+
+def test_corrupt_cyclic_dd_chain(tmp_path):
+    import struct as st
+
+    data = bytearray(open(_valid_file(tmp_path), "rb").read())
+    # point the DD block's next pointer back at itself (offset 4)
+    data[4 + 2 : 4 + 6] = st.pack(">I", 4)
+    _expect_clean(bytes(data), tmp_path, "cyclic.hdf")
+
+
+def test_corrupt_oversized_dims(tmp_path):
+    import struct as st
+
+    from sifsr_tpu.geo.hdf4 import HDF4Error, HDF4File, TAG_SDD
+
+    path = _valid_file(tmp_path)
+    f = HDF4File(path)
+    (off, _l) = next(v for (t, r), v in f.dds.items() if t == TAG_SDD)
+    data = bytearray(open(path, "rb").read())
+    # blow up the first dimension to 2^31-ish: payload can no longer match
+    data[off + 2 : off + 6] = st.pack(">I", 0x40000000)
+    p = tmp_path / "huge_dims.hdf"
+    p.write_bytes(bytes(data))
+    g = HDF4File(str(p))
+    import pytest
+
+    with pytest.raises((HDF4Error, KeyError, NotImplementedError)):
+        for sds in g.sds_names():
+            g.read_sds(sds)
