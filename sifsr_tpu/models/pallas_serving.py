@@ -47,11 +47,9 @@ from sifsr_tpu.models.packed import (
 )
 from sifsr_tpu.models.quantized import _quantize_kernel
 from sifsr_tpu.pallas.conv_i8 import (
-    conv_i8_pairs,
-    conv_i8_pairs_dual,
-    pack_tap_weights,
-    packed_from_pairs,
-    pairs_ab_from_padded,
+    conv_i8_layer,
+    conv_i8_layer_dual,
+    pack_row_tap_weights,
 )
 
 __all__ = ["build_pallas_serving_params", "make_pallas_sr_step"]
@@ -154,18 +152,21 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     ol["in_scale"] = jnp.float32(s["ol"])
 
     def pallas_leaf(wp_bp, s_in, s_out):
-        """One single-input pallas conv: int8 taps + folded scale/bias.
-        s_out=None -> f32 output (no requant fold)."""
+        """One single-input pallas layer leaf: int8 row-tap weights + the raw
+        int8 kernel for the border strips + folded scale/bias (tiled 128-lane
+        for the kernel, untiled 64-ch for the strips)."""
         q, sw = _quantize_kernel(np.asarray(wp_bp[0]))
-        taps = pack_tap_weights(q)
+        wm, wc = pack_row_tap_weights(q)
         comb = s_in * sw
         b = np.asarray(wp_bp[1], np.float64)
         if s_out is not None:
             comb, b = comb / s_out, b / s_out
         return {
-            "taps": jnp.asarray(taps),
+            "wm": jnp.asarray(wm), "wc": jnp.asarray(wc), "wq": jnp.asarray(q),
             "scale": jnp.asarray(np.tile(comb, 2).astype(np.float32)),
             "bias": jnp.asarray(np.tile(b, 2).astype(np.float32)),
+            "scale64": jnp.asarray(comb.astype(np.float32)),
+            "bias64": jnp.asarray(b.astype(np.float32)),
         }
 
     # inbloc.conv2: int8(in2 scale) -> int8(s0 scale)
@@ -179,12 +180,20 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     wb = w31[:, :, :, 16:].reshape(3, 3, 64, 64)
     qa, swa = _quantize_kernel(wa)
     qb, swb = _quantize_kernel(wb)
+    wm_x, wc_x = pack_row_tap_weights(qa)
+    wm_z, wc_z = pack_row_tap_weights(qb)
+    sx = s["up"] * swa / s["u32"]
+    sz = s["s0"] * swb / s["u32"]
+    b31f = np.asarray(b31, np.float64) / s["u32"]
     u31 = {
-        "taps_a": jnp.asarray(pack_tap_weights(qa)),
-        "taps_b": jnp.asarray(pack_tap_weights(qb)),
-        "scale_a": jnp.asarray(np.tile(s["up"] * swa / s["u32"], 2).astype(np.float32)),
-        "scale_b": jnp.asarray(np.tile(s["s0"] * swb / s["u32"], 2).astype(np.float32)),
-        "bias": jnp.asarray(np.tile(np.asarray(b31, np.float64) / s["u32"], 2).astype(np.float32)),
+        "wm_x": jnp.asarray(wm_x), "wc_x": jnp.asarray(wc_x), "wq_x": jnp.asarray(qa),
+        "wm_z": jnp.asarray(wm_z), "wc_z": jnp.asarray(wc_z), "wq_z": jnp.asarray(qb),
+        "scale_x": jnp.asarray(np.tile(sx, 2).astype(np.float32)),
+        "scale_z": jnp.asarray(np.tile(sz, 2).astype(np.float32)),
+        "scale64_x": jnp.asarray(sx.astype(np.float32)),
+        "scale64_z": jnp.asarray(sz.astype(np.float32)),
+        "bias": jnp.asarray(np.tile(b31f, 2).astype(np.float32)),
+        "bias64": jnp.asarray(b31f.astype(np.float32)),
     }
 
     # ub3.conv2: int8(u32) -> int8(ol)
@@ -225,10 +234,6 @@ def _conv_i8_packed_pre(x_q, leaf, c_in, s_in, relu=True):
     return jnp.maximum(y, 0.0) if relu else y
 
 
-def _pairs(x_q):
-    return pairs_ab_from_padded(_replicate_pad_packed(x_q, 16))
-
-
 def make_pallas_sr_step(stats, interpret: bool | None = None):
     """Pallas-serving twin of inference.make_sr_step:
     (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
@@ -256,15 +261,12 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         s1q = _quant(y, s["in2"])                            # int8 (N,hp,hp,64)
 
         # inbloc.conv2 (pallas) -> s0p int8 at the s0 scale
-        xa, xb = _pairs(s1q)
-        s0p = packed_from_pairs(
-            conv_i8_pairs(xa, xb, params["in2"]["taps"], params["in2"]["scale"],
-                          params["in2"]["bias"], hp, hp, interpret=interpret),
-            hp, hp)
+        s0p = conv_i8_layer(s1q, params["in2"], hp, hp, interpret=interpret)
 
         # mid chain (proven XLA int8 path), fed by the dequantised phase-mean
         n = s0p.shape[0]
-        s1_in = s0p.reshape(n, hp, hp, 4, 16).astype(jnp.float32).mean(axis=3) * s["s0"]
+        s1_in = jnp.mean(s0p.reshape(n, hp, hp, 4, 16), axis=3,
+                         dtype=jnp.float32) * s["s0"]
         s1m = _down_body(s1_in, mid["db1"])
         s2 = _down(s1m, mid["db2"])
         t = _down(s2, mid["db3"])
@@ -275,21 +277,11 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
 
         # ub3.conv1 (pallas dual: up-path + skip, concat-free)
         up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
-        za, zb = _pairs(_quant(up_p, s["up"]))
-        sa, sb = _pairs(s0p)
-        u31 = packed_from_pairs(
-            conv_i8_pairs_dual(za, zb, sa, sb,
-                               params["u31"]["taps_a"], params["u31"]["taps_b"],
-                               params["u31"]["scale_a"], params["u31"]["scale_b"],
-                               params["u31"]["bias"], hp, hp, interpret=interpret),
-            hp, hp)
+        u31 = conv_i8_layer_dual(_quant(up_p, s["up"]), s0p, params["u31"],
+                                 hp, hp, interpret=interpret)
 
         # ub3.conv2 (pallas)
-        ya, yb = _pairs(u31)
-        olp = packed_from_pairs(
-            conv_i8_pairs(ya, yb, params["u32"]["taps"], params["u32"]["scale"],
-                          params["u32"]["bias"], hp, hp, interpret=interpret),
-            hp, hp)
+        olp = conv_i8_layer(u31, params["u32"], hp, hp, interpret=interpret)
 
         # outlay (XLA int8, input already quantized at the ol scale)
         yol = _conv_i8_packed_pre(olp, params["ol"], 16, params["ol"]["in_scale"],

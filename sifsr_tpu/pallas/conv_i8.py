@@ -1,44 +1,39 @@
 """Fused int8 Pallas conv for the 256²-resolution U-Net layers.
 
-Why: profiling round 1's serving step showed the C=16 convs at 256² dominate
-device time. XLA's int8 conv at C=K=16 measures ~5.7% of v5e int8 peak (the
-MXU contraction/output lanes are mostly padding), and the surrounding
-quantize/pad/dequant elementwise passes add ~40% step time on top
-(FUTURE.md round-1 profile).
-
-The kernel reformulates the conv so the MXU runs dense:
+Why: round 1's serving profile showed the C=16 convs at 256² dominating
+device time — XLA's int8 conv at C=K=16 measures ~5.7% of v5e int8 peak (MXU
+lanes mostly padding) and the quantize/pad elementwise passes add ~40% step
+time on top. A first fused-conv attempt that materialised shifted pair
+tensors in XLA moved the cost into ~GB-scale HBM copies (profiled: kernels
+32 ms, glue 290 ms per 1024-batch). This version eliminates the glue:
 
 - operate in the 2x2 space-to-depth packed domain (models/packed.py): a 3x3
-  conv 16->16 @256² becomes a 3x3 conv 64->64 @128² (4x the MACs, but
-  lane-dense — net win because the unpacked form wastes >8x on lanes);
-- packed tensors are stored as *pixel-pair rows*: one row = 2 adjacent
-  packed pixels x 64 channels = 128 lanes exactly;
-- producing one output pair needs 4 input pixels (2b-1..2b+2 in padded
-  coordinates: 2b..2b+3) per kernel row tap P — i.e. input pair b and pair
-  b+1. The host/XLA side supplies the padded image twice: ``xp_a`` = pairs
-  (2b, 2b+1) and ``xp_b`` = pairs (2b+2, 2b+3), both (N, (H+2)*W/2, 128)
-  int8 (just two static slices of the padded tensor, no gathers). Every
-  kernel access is then a whole (M=slab*W/2, 128) row block at an offset
-  that is a multiple of W/2 — Mosaic-aligned with zero in-kernel copies;
-- the conv itself is 6 dense int8 MXU matmuls per slab,
-      Y = sum_P  A_P @ Wa_P  +  B_P @ Wb_P,     (M,128)@(128,128)->int32
-  where A_P/B_P are row-shifted slices of xp_a/xp_b and the (128,128) tap
-  weights Wa_P[(u*64+c), (o*64+k)] = w_packed[P, u-o, c, k] (u-o in {0,1,2},
-  75% dense) come from ``pack_tap_weights``. MXU utilisation bound: 0.75 vs
-  XLA's measured ~0.06 on the unpacked conv;
-- the epilogue fuses dequantisation (per-lane combined scale), bias, ReLU
-  and requantisation to the *next* layer's int8 scale, so inter-layer
-  tensors live in HBM as int8 and no separate quantize/pad/dequant passes
-  exist at 256² at all.
+  conv 16->16 @256² becomes a 3x3 conv 64->64 @128² — 4x the MACs but
+  lane-dense, a large net win over the >8x lane waste of the unpacked form;
+- tensors are stored as *pixel-pair rows*: row r = image row h, pair b
+  (2 adjacent packed pixels x 64 channels = 128 lanes). The kernel input is
+  the ROW-padded packed tensor only — no column padding, no shifted copies:
+  (N, (H+2)*W/2, 128) int8, a free reshape of (N, H+2, W, 64);
+- per 16-row slab the kernel loads one value V ((16+2)*W/2, 128) and forms
+  the neighbour composite C = [roll(V,+1)[:,64:] | roll(V,-1)[:,:64]]
+  (pixels 2b-1 and 2b+2) with register rolls — zero HBM traffic;
+- the conv is then 6 dense int8 MXU matmuls per slab (75% useful-MAC
+  density):   Y = sum_P  V_P @ WM_P  +  C_P @ WC_P,
+  WM_P[h*64+c, o*64+k] = w[P, h-o+1, c, k]           (dense)
+  WC_P[c, k] = w[P, 0, c, k]; WC_P[64+c, 64+k] = w[P, 2, c, k]  (half)
+- the register rolls wrap at image-row and slab boundaries, and the packed
+  replicate-pad needs a phase permutation at the left/right borders; BOTH
+  error classes land exactly on output pairs b=0 and b=W/2-1 (packed
+  columns {0,1,W-2,W-1}), which the XLA wrapper recomputes with thin
+  (4-pixel-wide) exact strip convs and pastes over — ~3% extra compute;
+- the epilogue fuses dequantisation (per-lane scale), bias, ReLU and
+  requantisation to the next layer's int8 scale, so inter-layer tensors at
+  256² live in HBM as int8 with no separate elementwise passes.
 
-Padding uses the packed-replicate semantics of models/packed.py (the pad
-pixel replicates the outermost *original* row/col into both phase slots) —
-applied once in XLA on the int8 tensor.
-
-Reference anchors: the conv semantics being accelerated are the BN-folded
-ModelB_2 convs (reference model.py:85-159,608-645) as quantized in
+Reference anchors: the conv semantics are the BN-folded ModelB_2 convs
+(reference model.py:85-159,608-645) as quantized in
 models/quantized_packed.py; equivalence is asserted in
-tests/test_conv_i8_pallas.py against that path.
+tests/test_conv_i8_pallas.py against an int32-exact XLA reference.
 """
 
 from __future__ import annotations
@@ -48,58 +43,51 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "pack_tap_weights",
-    "pairs_ab_from_padded",
-    "packed_from_pairs",
-    "conv_i8_pairs",
-    "conv_i8_pairs_dual",
+    "pack_row_tap_weights",
+    "rows_from_padded",
+    "packed_from_rows",
+    "conv_i8_rows",
+    "conv_i8_rows_dual",
+    "conv_i8_layer",
+    "conv_i8_layer_dual",
 ]
 
 SLAB = 16  # output image-rows per grid step
 
 
-def pack_tap_weights(wq: np.ndarray) -> np.ndarray:
-    """Packed int8 conv kernel (3, 3, Cp, Kp) -> per-(row-tap, pair-half)
-    matmul weights (3, 2, 2*Cp, 2*Kp):
+def pack_row_tap_weights(wq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed int8 conv kernel (3, 3, 64, 64) -> (WM, WC), each (3, 128, 128).
 
-        W[P, u, h*Cp + c, o*Kp + k] = wq[P, (2u + h) - o, c, k]
-
-    (zero where the column tap (2u+h)-o leaves {0,1,2}). Half u=0 multiplies
-    the ``xp_a`` pair (padded px 2b, 2b+1), half u=1 the ``xp_b`` pair
-    (padded px 2b+2, 2b+3); o indexes the two output pixels of the pair."""
+    WM acts on the centre pair row (pixels 2b, 2b+1), WC on the neighbour
+    composite (pixels 2b-1 | 2b+2). Lane layouts: rows h*64+c / out o*64+k."""
     wq = np.asarray(wq)
-    assert wq.shape[:2] == (3, 3), wq.shape
-    cp, kp = wq.shape[2], wq.shape[3]
-    out = np.zeros((3, 2, 2 * cp, 2 * kp), wq.dtype)
-    for u in range(2):
-        for h in range(2):
-            for o in range(2):
-                s = 2 * u + h - o
-                if 0 <= s <= 2:
-                    out[:, u, h * cp : (h + 1) * cp, o * kp : (o + 1) * kp] = wq[:, s]
-    return out
+    assert wq.shape == (3, 3, 64, 64), wq.shape
+    wm = np.zeros((3, 128, 128), wq.dtype)
+    wc = np.zeros((3, 128, 128), wq.dtype)
+    for h in range(2):
+        for o in range(2):
+            s = h - o + 1
+            wm[:, h * 64 : (h + 1) * 64, o * 64 : (o + 1) * 64] = wq[:, s]
+    wc[:, 0:64, 0:64] = wq[:, 0]      # px 2b-1 -> out o=0
+    wc[:, 64:128, 64:128] = wq[:, 2]  # px 2b+2 -> out o=1
+    return wm, wc
 
 
-def pairs_ab_from_padded(xpad: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Padded packed tensor (N, H+2, W+2, 64) -> the two pair-row tensors
-    (N, (H+2)*W/2, 128): xp_a = pixel pairs (2b, 2b+1), xp_b = (2b+2, 2b+3),
-    b in [0, W/2)."""
-    n, h2, w2, c = xpad.shape
-    assert c == 64 and w2 % 2 == 0, (c, w2)
-    w = w2 - 2
-    xp_a = xpad[:, :, : w, :].reshape(n, h2 * (w // 2), 2 * c)
-    xp_b = xpad[:, :, 2:, :].reshape(n, h2 * (w // 2), 2 * c)
-    return xp_a, xp_b
+def rows_from_padded(xpad_rows: jnp.ndarray) -> jnp.ndarray:
+    """Row-padded packed tensor (N, H+2, W, 64) -> (N, (H+2)*W/2, 128)."""
+    n, h2, w, c = xpad_rows.shape
+    assert c == 64 and w % 2 == 0, (c, w)
+    return xpad_rows.reshape(n, h2 * (w // 2), 2 * c)
 
 
-def packed_from_pairs(y: jnp.ndarray, hp: int, wp: int, kp: int = 64) -> jnp.ndarray:
+def packed_from_rows(y: jnp.ndarray, hp: int, wp: int, kp: int = 64) -> jnp.ndarray:
     """Pair rows (N, hp*wp/2, 2*kp) -> packed (N, hp, wp, kp)."""
-    n = y.shape[0]
-    return y.reshape(n, hp, wp, kp)
+    return y.reshape(y.shape[0], hp, wp, kp)
 
 
 def _epilogue(yf, relu: bool, out_dtype):
@@ -110,114 +98,196 @@ def _epilogue(yf, relu: bool, out_dtype):
     return yf.astype(out_dtype)
 
 
-def _taps_dot(xa_ref, xb_ref, w_ref, row0, m, wb):
-    """sum_P xa[rows+P*wb] @ w[P,0] + xb[rows+P*wb] @ w[P,1], int32."""
+def _slab_dots(x_ref, wm_ref, wc_ref, row0, m, wb):
+    """Load V once, build the neighbour composite with register rolls, run
+    the 6 matmuls. Returns int32 (m, 128)."""
+    m2 = m + 2 * wb
+    v = x_ref[0, pl.ds(row0, m2), :]
+    prev = pltpu.roll(v, 1, axis=0)
+    nxt = pltpu.roll(v, m2 - 1, axis=0)  # roll by -1 (shift must be >= 0)
+    comp = jnp.concatenate([prev[:, 64:128], nxt[:, 0:64]], axis=1)
     y = None
     for p in range(3):
-        off = pl.multiple_of(row0 + p * wb, wb)
+        lo = p * wb
         ya = jax.lax.dot_general(
-            xa_ref[0, pl.ds(off, m), :], w_ref[p, 0],
+            v[lo : lo + m], wm_ref[p],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
         yb = jax.lax.dot_general(
-            xb_ref[0, pl.ds(off, m), :], w_ref[p, 1],
+            comp[lo : lo + m], wc_ref[p],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
         y = ya + yb if y is None else y + ya + yb
     return y
 
 
-def _conv_kernel(xa_ref, xb_ref, w_ref, sc_ref, bias_ref, out_ref, *,
+def _conv_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, out_ref, *,
                  relu, out_dtype, wb):
     s = pl.program_id(1)
-    row0 = s * (SLAB * wb)
-    y = _taps_dot(xa_ref, xb_ref, w_ref, row0, SLAB * wb, wb)
+    y = _slab_dots(x_ref, wm_ref, wc_ref, s * SLAB * wb, SLAB * wb, wb)
     yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
     out_ref[0] = _epilogue(yf, relu, out_dtype)
 
 
-def _conv_kernel_dual(xa_ref, xb_ref, za_ref, zb_ref, w_ref, v_ref,
-                      sca_ref, scb_ref, bias_ref, out_ref, *,
+def _conv_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
+                      scx_ref, scz_ref, bias_ref, out_ref, *,
                       relu, out_dtype, wb):
     s = pl.program_id(1)
-    row0 = s * (SLAB * wb)
+    row0 = s * SLAB * wb
     m = SLAB * wb
-    y1 = _taps_dot(xa_ref, xb_ref, w_ref, row0, m, wb)
-    y2 = _taps_dot(za_ref, zb_ref, v_ref, row0, m, wb)
-    yf = (y1.astype(jnp.float32) * sca_ref[0]
-          + y2.astype(jnp.float32) * scb_ref[0] + bias_ref[0])
+    yx = _slab_dots(x_ref, wmx_ref, wcx_ref, row0, m, wb)
+    yz = _slab_dots(z_ref, wmz_ref, wcz_ref, row0, m, wb)
+    yf = (yx.astype(jnp.float32) * scx_ref[0]
+          + yz.astype(jnp.float32) * scz_ref[0] + bias_ref[0])
     out_ref[0] = _epilogue(yf, relu, out_dtype)
 
 
+def _specs(n, hp, wp, n_weights):
+    wb = wp // 2
+    pad_rows = (hp + 2) * wb
+    img = pl.BlockSpec((1, pad_rows, 128), lambda i, s: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((3, 128, 128), lambda i, s: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
+                       memory_space=pltpu.VMEM)
+    return img, w, vec, out
+
+
 @functools.partial(
     jax.jit, static_argnames=("hp", "wp", "relu", "out_dtype", "interpret")
 )
-def conv_i8_pairs(xp_a, xp_b, w_taps, scale, bias, hp: int, wp: int,
-                  relu: bool = True, out_dtype=jnp.int8, interpret: bool = False):
-    """Packed-domain 3x3 conv, 64 -> 64 channels, pixel-pair layout.
+def conv_i8_rows(x_rows, wm, wc, scale, bias, hp: int, wp: int,
+                 relu: bool = True, out_dtype=jnp.int8, interpret: bool = False):
+    """Packed-domain 3x3 conv 64->64, pixel-pair rows, row-padded input.
 
-    xp_a, xp_b: (N, (hp+2)*wp/2, 128) int8 from pairs_ab_from_padded;
-    w_taps: (3, 2, 128, 128) int8 from pack_tap_weights;
-    scale: (128,) f32 — s_in * s_w[k] (* 1/s_out when out_dtype=int8), lane
-        layout (o*64 + k); bias likewise folded;
-    returns pair rows (N, hp*wp/2, 128) of out_dtype.
-    """
-    n = xp_a.shape[0]
+    x_rows: (N, (hp+2)*wp/2, 128) int8 from rows_from_padded;
+    wm/wc: (3, 128, 128) int8 from pack_row_tap_weights;
+    scale (128,) f32 = s_in*s_w[k] (*1/s_out for int8 out), bias folded alike.
+    Output pairs b=0 and b=wp/2-1 are WRONG (roll wrap / missing border
+    permutation) — callers must overwrite packed columns {0,1,wp-2,wp-1}
+    (see conv_i8_layer, which does the exact strip fix)."""
+    n = x_rows.shape[0]
     wb = wp // 2
     assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
-    n_slabs = hp // SLAB
-    pad_rows = (hp + 2) * wb
+    img, w, vec, out = _specs(n, hp, wp, 2)
     kern = functools.partial(_conv_kernel, relu=relu, out_dtype=out_dtype, wb=wb)
-    img_spec = pl.BlockSpec((1, pad_rows, 128), lambda i, s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(n, n_slabs),
-        in_specs=[
-            img_spec,
-            img_spec,
-            pl.BlockSpec((3, 2, 128, 128), lambda i, s: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            v_spec,
-            v_spec,
-        ],
-        out_specs=pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(n, hp // SLAB),
+        in_specs=[img, w, w, vec, vec],
+        out_specs=out,
         out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
         interpret=interpret,
-    )(xp_a, xp_b, w_taps, scale.reshape(1, 128), bias.reshape(1, 128))
+    )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128))
 
 
 @functools.partial(
     jax.jit, static_argnames=("hp", "wp", "relu", "out_dtype", "interpret")
 )
-def conv_i8_pairs_dual(xa, xb, za, zb, w_taps, v_taps, scale_a, scale_b,
-                       bias, hp: int, wp: int, relu: bool = True,
-                       out_dtype=jnp.int8, interpret: bool = False):
-    """conv(concat(x, z)) = conv_x(x) + conv_z(z): the skip-concat conv
-    (ub3.conv1) without materialising the 128-channel concat. Each input is
-    its own 64-channel packed pair tensor pair (a/b halves) with its own
-    input scale folded into scale_a/scale_b."""
-    n = xa.shape[0]
+def conv_i8_rows_dual(x_rows, z_rows, wmx, wcx, wmz, wcz, scale_x, scale_z,
+                      bias, hp: int, wp: int, relu: bool = True,
+                      out_dtype=jnp.int8, interpret: bool = False):
+    """conv(concat(x, z)) = conv_x(x) + conv_z(z) — the skip-concat conv
+    without materialising the concat; per-half input/weight scales."""
+    n = x_rows.shape[0]
     wb = wp // 2
     assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
-    n_slabs = hp // SLAB
-    pad_rows = (hp + 2) * wb
+    img, w, vec, out = _specs(n, hp, wp, 4)
     kern = functools.partial(_conv_kernel_dual, relu=relu, out_dtype=out_dtype, wb=wb)
-    img_spec = pl.BlockSpec((1, pad_rows, 128), lambda i, s: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((3, 2, 128, 128), lambda i, s: (0, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(n, n_slabs),
-        in_specs=[img_spec, img_spec, img_spec, img_spec, w_spec, w_spec,
-                  v_spec, v_spec, v_spec],
-        out_specs=pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(n, hp // SLAB),
+        in_specs=[img, img, w, w, w, w, vec, vec, vec],
+        out_specs=out,
         out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
         interpret=interpret,
-    )(xa, xb, za, zb, w_taps, v_taps,
-      scale_a.reshape(1, 128), scale_b.reshape(1, 128), bias.reshape(1, 128))
+    )(x_rows, z_rows, wmx, wcx, wmz, wcz,
+      scale_x.reshape(1, 128), scale_z.reshape(1, 128), bias.reshape(1, 128))
+
+
+# ----------------------------------------------------- XLA wrapper with fix
+
+def _row_pad_packed(x: jnp.ndarray, c: int = 16) -> jnp.ndarray:
+    """Top/bottom packed-replicate padding only (1 row each side): the pad
+    row replicates the outermost original row into both phase slots
+    (models/packed._pad_perms top/bottom semantics)."""
+    from sifsr_tpu.models.packed import _pad_perms
+
+    perm_top, perm_bottom, _, _ = (jnp.asarray(p) for p in _pad_perms(c))
+    top = x[:, :1, :, perm_top]
+    bottom = x[:, -1:, :, perm_bottom]
+    return jnp.concatenate([top, x, bottom], axis=1)
+
+
+def _border_cols(xpad_rows: jnp.ndarray, c: int = 16):
+    """Left/right 4-pixel-wide column strips of the row-padded tensor, with
+    the exact packed-replicate column pad applied (left: [perm(px0), px0..2],
+    right: [pxW-3..W-1, perm(pxW-1)])."""
+    from sifsr_tpu.models.packed import _pad_perms
+
+    _, _, perm_left, perm_right = (jnp.asarray(p) for p in _pad_perms(c))
+    left = jnp.concatenate(
+        [xpad_rows[:, :, :1, perm_left], xpad_rows[:, :, :3, :]], axis=2)
+    right = jnp.concatenate(
+        [xpad_rows[:, :, -3:, :], xpad_rows[:, :, -1:, perm_right]], axis=2)
+    return left, right
+
+
+def _strip_conv_i8(strip, wq, preferred=jnp.int32):
+    return lax.conv_general_dilated(
+        strip, wq, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+    )
+
+
+def conv_i8_layer(x_packed, leaf, hp: int, wp: int, relu: bool = True,
+                  out_dtype=jnp.int8, interpret: bool = False):
+    """Full layer: row-pad -> pallas conv -> exact border-strip fix.
+
+    x_packed: (N, hp, wp, 64) int8; leaf: dict with 'wm','wc' (3,128,128) i8,
+    'wq' (3,3,64,64) i8 (for the strips), 'scale' (128,), 'bias' (128,)
+    [both folded], and 'scale64'/'bias64' (the same per-channel values,
+    untiled, for the strip epilogue). Returns (N, hp, wp, 64) out_dtype."""
+    xpad = _row_pad_packed(x_packed)
+    rows = rows_from_padded(xpad)
+    y = conv_i8_rows(rows, leaf["wm"], leaf["wc"], leaf["scale"], leaf["bias"],
+                     hp, wp, relu=relu, out_dtype=out_dtype, interpret=interpret)
+    y = packed_from_rows(y, hp, wp)
+
+    left, right = _border_cols(xpad)
+    yl = _strip_conv_i8(left, leaf["wq"]).astype(jnp.float32) * leaf["scale64"] + leaf["bias64"]
+    yr = _strip_conv_i8(right, leaf["wq"]).astype(jnp.float32) * leaf["scale64"] + leaf["bias64"]
+    yl = _epilogue(yl, relu, out_dtype)
+    yr = _epilogue(yr, relu, out_dtype)
+    return jnp.concatenate([yl, y[:, :, 2:-2, :], yr], axis=2)
+
+
+def conv_i8_layer_dual(x_packed, z_packed, leaf, hp: int, wp: int,
+                       relu: bool = True, out_dtype=jnp.int8,
+                       interpret: bool = False):
+    """Dual-input layer (skip-concat conv): leaf carries per-half weights
+    'wm_x','wc_x','wm_z','wc_z','wq_x','wq_z', scales 'scale_x','scale_z'
+    (+ 'scale64_x','scale64_z'), shared folded 'bias'/'bias64'."""
+    xpad = _row_pad_packed(x_packed)
+    zpad = _row_pad_packed(z_packed)
+    y = conv_i8_rows_dual(
+        rows_from_padded(xpad), rows_from_padded(zpad),
+        leaf["wm_x"], leaf["wc_x"], leaf["wm_z"], leaf["wc_z"],
+        leaf["scale_x"], leaf["scale_z"], leaf["bias"],
+        hp, wp, relu=relu, out_dtype=out_dtype, interpret=interpret)
+    y = packed_from_rows(y, hp, wp)
+
+    xl, xr = _border_cols(xpad)
+    zl, zr = _border_cols(zpad)
+    yl = (_strip_conv_i8(xl, leaf["wq_x"]).astype(jnp.float32) * leaf["scale64_x"]
+          + _strip_conv_i8(zl, leaf["wq_z"]).astype(jnp.float32) * leaf["scale64_z"]
+          + leaf["bias64"])
+    yr = (_strip_conv_i8(xr, leaf["wq_x"]).astype(jnp.float32) * leaf["scale64_x"]
+          + _strip_conv_i8(zr, leaf["wq_z"]).astype(jnp.float32) * leaf["scale64_z"]
+          + leaf["bias64"])
+    yl = _epilogue(yl, relu, out_dtype)
+    yr = _epilogue(yr, relu, out_dtype)
+    return jnp.concatenate([yl, y[:, :, 2:-2, :], yr], axis=2)

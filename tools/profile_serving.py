@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 def main():
     parser = ArgumentParser(description=__doc__)
     parser.add_argument("--batch", type=int, default=512)
-    parser.add_argument("--path", default="bn_folded", choices=["bn_folded", "s2d_packed"])
+    parser.add_argument("--path", default="bn_folded",
+                        choices=["bn_folded", "s2d_packed", "int8", "pallas"])
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--trace-dir", default="/tmp/sifsr_trace")
     parser.add_argument("--top", type=int, default=20)
@@ -44,10 +45,26 @@ def main():
                        mean_ndvi=0.3, std_ndvi=0.25)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
 
+    rng0 = np.random.default_rng(1)
+    cal_lst = (290.0 + 5.0 * rng0.random((8, 64, 64))).astype(np.float32)
+    cal_ndvi = (rng0.random((8, 256, 256)) * 0.8).astype(np.float32)
     if args.path == "bn_folded":
         from sifsr_tpu.inference import make_sr_step
 
         step, params = make_sr_step(model, stats), variables
+    elif args.path == "int8":
+        from sifsr_tpu.models.quantized import (
+            calibrate_activation_scales, make_int8_sr_step, quantize_serving_params)
+
+        params = calibrate_activation_scales(
+            variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats)
+        step = make_int8_sr_step(stats)
+    elif args.path == "pallas":
+        from sifsr_tpu.models.pallas_serving import (
+            build_pallas_serving_params, make_pallas_sr_step)
+
+        params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
+        step = make_pallas_sr_step(stats)
     else:
         from sifsr_tpu.models.packed import make_packed_sr_step, pack_serving_params
 
