@@ -1,14 +1,27 @@
 #!/usr/bin/env python3
 """Headline benchmark: 64->256 SR patches/sec/chip through the full serving
-step (normalise + bicubic x4 + ModelB U-Net forward + de-normalise, bf16).
+step (normalise + bicubic x4 + ModelB U-Net forward + de-normalise).
 
 Prints ONE JSON line:
   {"metric": "sr_patches_per_sec_per_chip", "value": N, "unit": "patches/s",
-   "vs_baseline": N / 10000}
+   "vs_baseline": N / 10000, "paths": {...}, "mfu_int8": ...,
+   "train_samples_per_sec": {...}}
 
 Baseline: the BASELINE.json north-star of 10k patches/sec/chip on TPU v5e
 (the reference itself runs batch-1 on CPU/GPU with per-block host round-trips;
-see BASELINE.md).
+see BASELINE.md). MFU is derived from the analytic conv FLOPs of one 64->256
+patch (~3.0 GFLOP, SURVEY.md §3.6 channel map) against the v5e int8 peak
+(394 TOPS).
+
+Serving paths raced (failures are isolated per path):
+  pallas_i8 — int8 + space-to-depth + fused Pallas pair-convs
+              (models/pallas_serving.py) — the engineered fast path;
+  int8_static — static-calibrated int8 XLA convs (models/quantized.py).
+
+Training throughput is measured on synthetic data through the full jitted
+step (fwd + sensor-model ds-loss + Sobel percep loss + bwd + Adam):
+  f32_b32  — reference-parity config (HIGHEST precision, batch 32);
+  bf16_b128 — mixed-precision config (bf16 compute, f32 master weights).
 """
 
 import json
@@ -19,11 +32,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+PATCH_FLOPS = 3.0e9          # conv FLOPs per 64->256 patch (MAC*2)
+V5E_INT8_PEAK = 394e12
 
-def main():
+
+def _measure(fn, *args, iters=10):
+    float(jnp.asarray(fn(*args)).mean())  # compile + force through the tunnel
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        acc = acc + jnp.asarray(fn(*args)).mean()
+    float(acc)  # one host sync for the whole chain
+    return time.perf_counter() - t0, iters
+
+
+def bench_serving():
     from sifsr_tpu.data.statistics import Statistics
-    from sifsr_tpu.inference import make_sr_step
-    from sifsr_tpu.models.packed import make_packed_sr_step, pack_serving_params
     from sifsr_tpu.models.unet import ModelB2
 
     model = ModelB2()
@@ -31,69 +55,116 @@ def main():
                        mean_ndvi=0.3, std_ndvi=0.25)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
 
-    # serving paths: BN-folded bf16 NHWC; space-to-depth packed; and
-    # static-calibrated int8 (int8 MXU convs + fully-fused requant chain —
-    # quality measured at ~0.07 K RMSE vs f32 on held-out real pairs, see
-    # models/quantized.py). Pick whichever is fastest on this chip today.
-    from sifsr_tpu.models.quantized import (
-        calibrate_activation_scales,
-        make_int8_sr_step,
-        quantize_serving_params,
-    )
+    rng = np.random.default_rng(1)
+    cal_lst = (290.0 + 5.0 * rng.random((8, 64, 64))).astype(np.float32)
+    cal_ndvi = (rng.random((8, 256, 256)) * 0.8).astype(np.float32)
 
-    cal_rng = np.random.default_rng(1)
-    cal_lst = (290.0 + 5.0 * cal_rng.random((8, 64, 64))).astype(np.float32)
-    cal_ndvi = (cal_rng.random((8, 256, 256)) * 0.8).astype(np.float32)
-    qparams = calibrate_activation_scales(
-        variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats
-    )
+    candidates = {}
+    try:
+        from sifsr_tpu.models.pallas_serving import (
+            build_pallas_serving_params, make_pallas_sr_step)
 
-    candidates = {
-        "bn_folded": (make_sr_step(model, stats), variables),
-        "s2d_packed": (make_packed_sr_step(stats), pack_serving_params(variables)),
-        "int8_static": (make_int8_sr_step(stats), qparams),
-    }
+        candidates["pallas_i8"] = (
+            make_pallas_sr_step(stats),
+            build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats),
+        )
+    except Exception as exc:  # pragma: no cover
+        import sys
 
-    rng = np.random.default_rng(0)
-    best = 0.0
-    best_batch = 0
-    best_path = ""
-    # one batch size (compiles through the remote tunnel are slow: ~30-150s
-    # each); per-path failures are isolated so one broken path can't zero the
-    # whole benchmark
-    for batch in (1024,):
-        lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
-        ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
-        for path, (sr_step, params) in candidates.items():
-            try:
-                # warmup (compile) — force execution with a host fetch, since
-                # block_until_ready does not synchronise through the axon tunnel
-                float(sr_step(params, lst, ndvi).mean())
+        print(f"pallas_i8 setup failed: {exc}", file=sys.stderr)
+    try:
+        from sifsr_tpu.models.quantized import (
+            calibrate_activation_scales, make_int8_sr_step, quantize_serving_params)
 
-                n_iters = 10
-                t0 = time.perf_counter()
-                acc = jnp.zeros(())
-                for _ in range(n_iters):
-                    # chain a data dependency so every step really executes
-                    acc = acc + sr_step(params, lst, ndvi).mean()
-                float(acc)
-                dt = time.perf_counter() - t0
-            except Exception as exc:  # pragma: no cover — path-level isolation
-                import sys
+        qparams = calibrate_activation_scales(
+            variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats)
+        candidates["int8_static"] = (make_int8_sr_step(stats), qparams)
+    except Exception as exc:  # pragma: no cover
+        import sys
 
-                print(f"bench path {path} failed: {exc}", file=sys.stderr)
-                continue
-            pps = batch * n_iters / dt
-            if pps > best:
-                best, best_batch, best_path = pps, batch, path
+        print(f"int8_static setup failed: {exc}", file=sys.stderr)
 
+    batch = 1024
+    lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
+    ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
+
+    paths = {}
+    for name, (sr_step, params) in candidates.items():
+        try:
+            dt, iters = _measure(lambda l, n: sr_step(params, l, n), lst, ndvi)
+            paths[name] = round(batch * iters / dt, 1)
+        except Exception as exc:  # pragma: no cover
+            import sys
+
+            print(f"bench path {name} failed: {exc}", file=sys.stderr)
+    return paths, batch
+
+
+def bench_training():
+    from sifsr_tpu.config import HyperParams, TrainConfig
+    from sifsr_tpu.data import make_synthetic_dataset
+    from sifsr_tpu.models.unet import ModelB2
+    from sifsr_tpu.train.state import create_train_state
+    from sifsr_tpu.train.step import make_train_step
+    from jax import lax
+
+    results = {}
+    ds = make_synthetic_dataset(8, seed=0)
+    from sifsr_tpu.data.datasets import prepare_batch
+
+    raw = next(ds.batches(8, seed=0))
+
+    for name, (dtype, precision, batch) in {
+        "f32_b32": (jnp.float32, lax.Precision.HIGHEST, 32),
+        "bf16_b128": (jnp.bfloat16, lax.Precision.DEFAULT, 128),
+    }.items():
+        try:
+            model = ModelB2(dtype=dtype, precision=precision)
+            state = create_train_state(model, 1e-3, rng=jax.random.key(0),
+                                       input_hw=(256, 256))
+            step = make_train_step(model, "predef_filters", alpha=0.99, gamma=-0.5,
+                                   mean_lst=295.0, std_lst=10.0, with_metrics=False)
+            reps = -(-batch // raw["lst"].shape[0])
+            batch_dict = prepare_batch({
+                k: jnp.tile(jnp.asarray(v), (reps, 1, 1, 1))[:batch]
+                for k, v in raw.items()
+            })
+
+            # measure with a persistent state chain so the optimizer update runs
+            state2, m = step(state, batch_dict)
+            float(m["loss"])  # compile
+            iters = 10
+            t0 = time.perf_counter()
+            s = state2
+            last = None
+            for _ in range(iters):
+                s, m = step(s, batch_dict)
+                last = m["loss"]
+            float(last)
+            dt = time.perf_counter() - t0
+            results[name] = round(batch * iters / dt, 1)
+        except Exception as exc:  # pragma: no cover
+            import sys
+
+            print(f"train bench {name} failed: {exc}", file=sys.stderr)
+    return results
+
+
+def main():
+    paths, batch = bench_serving()
+    train = bench_training()
+    best_path = max(paths, key=paths.get) if paths else ""
+    best = paths.get(best_path, 0.0)
     print(json.dumps({
         "metric": "sr_patches_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": best,
         "unit": "patches/s",
         "vs_baseline": round(best / 10000.0, 3),
-        "batch": best_batch,
+        "batch": batch,
         "path": best_path,
+        "paths": paths,
+        "mfu_int8": round(best * PATCH_FLOPS / V5E_INT8_PEAK, 4),
+        "train_samples_per_sec": train,
         "device": str(jax.devices()[0]),
     }))
 

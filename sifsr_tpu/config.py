@@ -61,7 +61,9 @@ class TrainConfig:
     # parallelism: data-parallel shards over this many devices (0 = all local)
     n_devices: int = 0
     # matmul/conv precision: 'highest' = f32 accumulation (torch parity);
-    # 'default' = single-pass bf16 MXU issue (~1.5x faster training)
+    # 'default' = single-pass bf16 MXU issue on f32 data;
+    # 'bf16' = full mixed precision (bf16 activations, f32 master weights,
+    # f32 BatchNorm statistics, f32 Adam) — the fast training configuration
     precision: str = "highest"
     # per-step on-device PSNR/SSIM (the reference computes them per batch;
     # disabling buys ~35% step time)

@@ -56,11 +56,14 @@ class TorchBatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32  # compute dtype of the output; statistics
+    # and running stats always accumulate in f32 (mixed-precision safety)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(jnp.float32)
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )
@@ -83,14 +86,16 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = lax.rsqrt(var + self.eps) * scale
-        return x * inv + (bias - mean * inv)
+        return (x * inv + (bias - mean * inv)).astype(self.dtype)
 
 
-def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, name: str, precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, name: str, precision=lax.Precision.HIGHEST, dtype=jnp.float32) -> jnp.ndarray:
     """3x3 stride-1 conv with explicit pad (replicate/reflect/zeros) + VALID.
 
     precision: HIGHEST (f32 accumulation) for training/parity paths; pass
     DEFAULT for bf16 serving where single-pass MXU issue is ~3x faster.
+    dtype: computation dtype (params stay f32 — mixed-precision training
+    keeps f32 master weights; flax casts per-op).
     """
     pad_mode = _PAD_MODES[padding_mode]
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
@@ -101,6 +106,7 @@ def _conv3x3(x: jnp.ndarray, features: int, padding_mode: str, use_bias: bool, n
         use_bias=use_bias,
         name=name,
         precision=precision,
+        dtype=dtype,
     )(x)
 
 
@@ -111,14 +117,15 @@ class DoubleConv(nn.Module):
     mid_features: int | None = None
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.HIGHEST
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         mid = self.mid_features or self.features
-        x = _conv3x3(x, mid, self.padding_mode, False, "conv1", self.precision)
-        x = nn.relu(TorchBatchNorm(mid, name="bn1")(x, train))
-        x = _conv3x3(x, self.features, self.padding_mode, False, "conv2", self.precision)
-        return nn.relu(TorchBatchNorm(self.features, name="bn2")(x, train))
+        x = _conv3x3(x, mid, self.padding_mode, False, "conv1", self.precision, self.dtype)
+        x = nn.relu(TorchBatchNorm(mid, name="bn1", dtype=self.dtype)(x, train))
+        x = _conv3x3(x, self.features, self.padding_mode, False, "conv2", self.precision, self.dtype)
+        return nn.relu(TorchBatchNorm(self.features, name="bn2", dtype=self.dtype)(x, train))
 
 
 class DownBlockPool(nn.Module):
@@ -128,6 +135,7 @@ class DownBlockPool(nn.Module):
     out_features: int
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.HIGHEST
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -136,10 +144,10 @@ class DownBlockPool(nn.Module):
         x = jnp.mean(x.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
         x = x + DoubleConv(
             self.in_features, padding_mode=self.padding_mode,
-            precision=self.precision, name="res",
+            precision=self.precision, dtype=self.dtype, name="res",
         )(x, train)
-        x = _conv3x3(x, self.out_features, self.padding_mode, False, "lastconv", self.precision)
-        return nn.relu(TorchBatchNorm(self.out_features, name="lastbn")(x, train))
+        x = _conv3x3(x, self.out_features, self.padding_mode, False, "lastconv", self.precision, self.dtype)
+        return nn.relu(TorchBatchNorm(self.out_features, name="lastbn", dtype=self.dtype)(x, train))
 
 
 class UpBlock(nn.Module):
@@ -155,6 +163,7 @@ class UpBlock(nn.Module):
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.HIGHEST
     bilinear: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -164,17 +173,18 @@ class UpBlock(nn.Module):
         else:
             x = nn.ConvTranspose(
                 self.in_features // 2, (2, 2), strides=(2, 2), padding="VALID",
-                precision=self.precision, name="up",
+                precision=self.precision, dtype=self.dtype, name="up",
             )(x)
             mid = None
         # Power-of-two feature maps always line up; the reference's pad-to-match
         # (model.py:238-245) is a no-op for every published configuration.
-        x = jnp.concatenate([x, skip], axis=-1)
+        x = jnp.concatenate([x.astype(self.dtype), skip], axis=-1)
         return DoubleConv(
             self.out_features,
             mid_features=mid,
             padding_mode=self.padding_mode,
             precision=self.precision,
+            dtype=self.dtype,
             name="convbloc",
         )(x, train)
 
@@ -196,24 +206,29 @@ class ModelB2(nn.Module):
     # bf16 MXU issue for serving (~3x faster, ~0.01 K output delta).
     precision: lax.Precision = lax.Precision.HIGHEST
     bilinear: bool = True
+    # compute dtype: bfloat16 = mixed-precision training/serving (params and
+    # BN statistics stay f32; the output is cast back to f32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = list(self.downchannels)
         pm = self.padding_mode
         pr = self.precision
+        dt = self.dtype
         up = 2 if self.bilinear else 1  # reference's upfactor (model.py:591)
         bl = self.bilinear
 
-        s0 = DoubleConv(d[0], padding_mode=pm, precision=pr, name="inbloc")(x, train)
-        s1 = DownBlockPool(d[0], d[1], pm, pr, name="db1")(s0, train)
-        s2 = DownBlockPool(d[1], d[2], pm, pr, name="db2")(s1, train)
-        x = DownBlockPool(d[2], d[3] // up, pm, pr, name="db3")(s2, train)
+        x = x.astype(dt)
+        s0 = DoubleConv(d[0], padding_mode=pm, precision=pr, dtype=dt, name="inbloc")(x, train)
+        s1 = DownBlockPool(d[0], d[1], pm, pr, dt, name="db1")(s0, train)
+        s2 = DownBlockPool(d[1], d[2], pm, pr, dt, name="db2")(s1, train)
+        x = DownBlockPool(d[2], d[3] // up, pm, pr, dt, name="db3")(s2, train)
 
-        x = UpBlock(d[3], d[2] // up, pm, pr, bl, name="ub1")(x, s2, train)
-        x = UpBlock(d[2], d[1] // up, pm, pr, bl, name="ub2")(x, s1, train)
-        x = UpBlock(d[1], d[0], pm, pr, bl, name="ub3")(x, s0, train)
+        x = UpBlock(d[3], d[2] // up, pm, pr, bl, dt, name="ub1")(x, s2, train)
+        x = UpBlock(d[2], d[1] // up, pm, pr, bl, dt, name="ub2")(x, s1, train)
+        x = UpBlock(d[1], d[0], pm, pr, bl, dt, name="ub3")(x, s0, train)
 
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=_PAD_MODES[pm])
         return nn.Conv(1, (3, 3), padding="VALID", use_bias=True, name="outlay",
-                       precision=pr)(x)
+                       precision=pr, dtype=dt)(x).astype(jnp.float32)

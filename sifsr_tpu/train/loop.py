@@ -65,13 +65,16 @@ def train_loop(
 
     hp = config.hyper
     stats = train_ds.stats
+    import jax.numpy as jnp
+
     model = model or ModelB2(
         in_channels=config.model.in_channels,
         downchannels=tuple(config.model.downchannels),
         padding_mode=config.model.padding_mode,
         precision=(
-            lax.Precision.DEFAULT if config.precision == "default" else lax.Precision.HIGHEST
+            lax.Precision.HIGHEST if config.precision == "highest" else lax.Precision.DEFAULT
         ),
+        dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
     )
     input_hw = (64, 64) if config.recipe == "scale_invariance" else (256, 256)
     if state is None:
