@@ -98,13 +98,34 @@ def _epilogue(yf, relu: bool, out_dtype):
     return yf.astype(out_dtype)
 
 
+def _row_shift_down(v):
+    """prev[r] = v[r-1] (wrapping) for an int8 (R, 128) value.
+
+    Mosaic can't rotate sub-32-bit data, and bitcast to int32 packs 4
+    *sublanes* (rows) per element — so a 1-row shift is an 8-bit byte shift
+    within each packed uint32 plus a carry byte from the 4-row-granular
+    roll. Row 4s+k lives in byte k (LSB = row 4s; verified by
+    tests/test_conv_i8_pallas.py::test_row_shift_packing)."""
+    v32 = pltpu.bitcast(v, jnp.uint32)
+    carry = pltpu.roll(v32, 1, axis=0) >> 24
+    return pltpu.bitcast((v32 << 8) | carry, jnp.int8)
+
+
+def _row_shift_up(v):
+    """nxt[r] = v[r+1] (wrapping) for an int8 (R, 128) value."""
+    v32 = pltpu.bitcast(v, jnp.uint32)
+    rows32 = v32.shape[0]
+    carry = pltpu.roll(v32, rows32 - 1, axis=0) << 24
+    return pltpu.bitcast((v32 >> 8) | carry, jnp.int8)
+
+
 def _slab_dots(x_ref, wm_ref, wc_ref, row0, m, wb):
     """Load V once, build the neighbour composite with register rolls, run
     the 6 matmuls. Returns int32 (m, 128)."""
     m2 = m + 2 * wb
     v = x_ref[0, pl.ds(row0, m2), :]
-    prev = pltpu.roll(v, 1, axis=0)
-    nxt = pltpu.roll(v, m2 - 1, axis=0)  # roll by -1 (shift must be >= 0)
+    prev = _row_shift_down(v)
+    nxt = _row_shift_up(v)
     comp = jnp.concatenate([prev[:, 64:128], nxt[:, 0:64]], axis=1)
     y = None
     for p in range(3):

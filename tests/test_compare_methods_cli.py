@@ -38,3 +38,92 @@ def test_compare_methods_end_to_end(tmp_path, rng):
     # the model restores most of the frequency content the smoothed floor lost
     assert 0.3 < float(df.loc["mean", "FRR"]) <= 1.5
     assert os.path.exists(fig)
+
+
+def _make_results7(tmp_path, rng, n_pairs=2):
+    """Synthetic dict_pred trees for all 7 reference methods."""
+    from sifsr_tpu.cli.compare_methods import MODELS7
+
+    results = tmp_path / "results"
+    for idx in range(n_pairs):
+        yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        aster = 300 + np.sin(yy / 2.5) * np.cos(xx / 3.1) + 0.2 * rng.normal(size=(96, 96))
+        base = {
+            "LST:": 300 + 0.5 * np.sin(yy / 2.5) * np.cos(xx / 3.1) + rng.normal() * 0.3,
+            "NDVI": 0.5 + 0.1 * np.sin(xx / 4.0),
+            "LST_ASTER": aster,
+        }
+        for k, method in enumerate(MODELS7):
+            d = results / method
+            d.mkdir(parents=True, exist_ok=True)
+            pred = 300 + (0.5 + 0.07 * k) * np.sin(yy / 2.5) * np.cos(xx / 3.1) \
+                + 0.05 * rng.normal(size=(96, 96))
+            with open(d / f"{idx}_dict_pred.pkl", "wb") as f:
+                pickle.dump({**base, "LST_SR": pred}, f)
+    # a performances.csv for the scatter join
+    perf = pd.DataFrame(
+        {"PSNR": 20 + rng.random(n_pairs), "SSIM": 0.5 + 0.1 * rng.random(n_pairs),
+         "RMSE": 1.5 + rng.random(n_pairs), "GSSIM": 0.3 + 0.1 * rng.random(n_pairs),
+         "LPIPS": np.nan},
+        index=range(n_pairs),
+    )
+    perf.loc["mean"] = perf.mean()
+    perf.to_csv(results / "modelB_1009" / "performances.csv")
+    return results
+
+
+def test_figures_subcommand(tmp_path, rng):
+    results = _make_results7(tmp_path, rng)
+    out = tmp_path / "figs"
+    cm_main(["figures", "--results-dir", str(results), "--out", str(out), "--limit", "1"])
+    for stem in ("comparison", "distribution", "temperature", "frequencies_single"):
+        assert (out / f"0_prediction_{stem}_tds.png").exists(), stem
+
+
+def test_contrast_subcommand(tmp_path, rng):
+    results = _make_results7(tmp_path, rng)
+    out = tmp_path / "contrast.png"
+    cm_main(["contrast", "--results-dir", str(results), "--index", "0",
+             "--out", str(out)])
+    assert out.exists()
+
+
+def test_scatters_subcommand(tmp_path, rng):
+    results = _make_results7(tmp_path, rng, n_pairs=3)
+    out = tmp_path / "figs"
+    cm_main(["scatters", "--results-dir", str(results), "--model", "modelB_1009",
+             "--out", str(out)])
+    assert (out / "modelB_1009_metrics_vs_bias_1km.png").exists()
+    assert (out / "modelB_1009_metrics_vs_rmse_1km.png").exists()
+
+
+def test_seasons_subcommand(tmp_path, capsys):
+    rows = []
+    for day, split in [(30, "Train"), (100, "Train"), (200, "Train"),
+                       (300, "Train"), (340, "Train"), (100, "Val")]:
+        rows.append({
+            "LST": f"data/lst/MOD21A1D.A2020{day:03d}.h18v04.061.12.tif",
+            "NDVI": f"data/ndvi/MOD09GQ.A2020{day:03d}.h18v04.061.12.tif",
+            "Split": split,
+        })
+    csv = tmp_path / "ModisDatasetB.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = tmp_path / "seasons.png"
+    cm_main(["seasons", "--dataset-csv", str(csv), "--out", str(out)])
+    assert out.exists()
+    printed = capsys.readouterr().out
+    # winter wraps (day 30 and 340), one spring, one summer, one fall
+    assert "'Winter': 2" in printed and "'Spring': 1" in printed
+
+
+def test_timediff_subcommand(tmp_path, capsys):
+    # aster_modis_dataset_2.csv schema: time difference (hours) in column 9
+    df = pd.DataFrame({
+        **{f"c{i}": np.arange(4) for i in range(8)},
+        "timediff_h": [0.25, -0.5, 0.1, 1.0],
+    }, index=range(4))
+    csv = tmp_path / "aster_modis_dataset_2.csv"
+    df.to_csv(csv)
+    cm_main(["timediff", "--test-data-csv", str(csv)])
+    printed = capsys.readouterr().out
+    assert "Mean: 12.8 min" in printed  # 60*(0.25-0.5+0.1+1)/4

@@ -106,3 +106,26 @@ def test_conv_i8_layer_dual_exact(rng):
     y = conv_i8_layer_dual(jnp.asarray(x), jnp.asarray(z), leaf, hp, wp,
                            relu=True, out_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
+
+
+def test_row_shift_packing(rng):
+    """The byte-shift row-shift trick must equal a plain row roll — pins the
+    int8-in-uint32 sublane packing order (row 4s+k in byte k, LSB first)."""
+    from jax.experimental import pallas as pl
+
+    from sifsr_tpu.pallas.conv_i8 import _row_shift_down, _row_shift_up
+
+    def k(x_ref, down_ref, up_ref):
+        v = x_ref[:]
+        down_ref[:] = _row_shift_down(v)
+        up_ref[:] = _row_shift_up(v)
+
+    x = rng.integers(-127, 128, (16, 128)).astype(np.int8)
+    down, up = pl.pallas_call(
+        k,
+        out_shape=(jax.ShapeDtypeStruct((16, 128), jnp.int8),
+                   jax.ShapeDtypeStruct((16, 128), jnp.int8)),
+        interpret=True,
+    )(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(down), np.roll(x, 1, axis=0))
+    np.testing.assert_array_equal(np.asarray(up), np.roll(x, -1, axis=0))
