@@ -185,11 +185,14 @@ def cmd_figures(argv):
             print(f"pair {idx}: skipped (missing dict_pred for some method)")
             continue
         bic = _load(paths[args.models[0]])
-        aster = bic["LST_ASTER"]
         preds = {m: _load(p)["LST_SR"] for m, p in paths.items()}
-        if any(p.shape != aster.shape for p in preds.values()):
-            print(f"pair {idx}: skipped (crop shape mismatch across methods)")
-            continue
+        # per-method SR values shift the valid-footprint corner detection by
+        # a pixel on some pairs — crop everything to the common min shape
+        hmin = min(min(p.shape[0] for p in preds.values()), bic["LST_ASTER"].shape[0])
+        wmin = min(min(p.shape[1] for p in preds.values()), bic["LST_ASTER"].shape[1])
+        aster = bic["LST_ASTER"][:hmin, :wmin]
+        bic = {**bic, "LST:": bic["LST:"][:hmin, :wmin], "NDVI": bic["NDVI"][:hmin, :wmin]}
+        preds = {m: p[:hmin, :wmin] for m, p in preds.items()}
         mini, maxi = float(aster.min()), float(aster.max())
 
         # 1st figure: 3x3 comparison grid with a shared colorbar (:651-704)

@@ -83,3 +83,21 @@ def test_checkpoint_resume(tmp_path):
     assert any("resumed from epoch 2" in line for line in logs)
     assert len(metrics_b["train_loss"]) == 4
     assert metrics_b["train_loss"][:2] == metrics_a["train_loss"]
+
+
+def test_bf16_mixed_precision_learns():
+    """bf16 compute dtype (f32 master weights + BN stats): the step runs,
+    the loss decreases, and params stay f32."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    train_ds = make_synthetic_dataset(16, seed=7)
+    val_ds = make_synthetic_dataset(4, seed=8)
+    model = ModelB2(dtype=jnp.bfloat16, precision=lax.Precision.DEFAULT)
+    state, metrics = train_loop(
+        _tiny_config("predef_filters", n_epochs=3), train_ds, val_ds,
+        model=model, log_fn=lambda s: None,
+    )
+    assert metrics["train_loss"][-1] < metrics["train_loss"][0]
+    leaves = jax.tree.leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
