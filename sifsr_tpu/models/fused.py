@@ -28,13 +28,19 @@ import numpy as np
 from jax import lax
 
 from sifsr_tpu.models.unet import _PAD_MODES
-from sifsr_tpu.ops.resize import resize_matrix
+from sifsr_tpu.ops.resize import resize_axis_gather, resize_matrix
 
 __all__ = ["InferenceModelB2", "fold_batchnorm", "upsample_bilinear_x2_nhwc"]
 
 
 def upsample_bilinear_x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
-    """align_corners bilinear x2 on NHWC without layout transposes."""
+    """align_corners bilinear x2 on NHWC without layout transposes.
+
+    Stays in the einsum form deliberately: round-2 profiling showed the
+    roll/fma stencil variant (ops/resize.resize_axis_gather) fragments into
+    unfused materialised passes under XLA TPU and loses to the dot emitter
+    at these sizes; the Pallas phase-separated upsample replaces this on the
+    serving fast path instead."""
     n, h, w, c = x.shape
     mat_h = jnp.asarray(resize_matrix(h, 2 * h, "linear_ac"), dtype=x.dtype)
     mat_w = jnp.asarray(resize_matrix(w, 2 * w, "linear_ac"), dtype=x.dtype)

@@ -47,8 +47,8 @@ from sifsr_tpu.models.packed import (
 )
 from sifsr_tpu.models.quantized import _quantize_kernel
 from sifsr_tpu.pallas.conv_i8 import (
-    conv_i8_layer,
-    conv_i8_layer_dual,
+    conv_i8_exact,
+    conv_i8_exact_dual,
     pack_row_tap_weights,
 )
 
@@ -152,9 +152,9 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     ol["in_scale"] = jnp.float32(s["ol"])
 
     def pallas_leaf(wp_bp, s_in, s_out):
-        """One single-input pallas layer leaf: int8 row-tap weights + the raw
-        int8 kernel for the border strips + folded scale/bias (tiled 128-lane
-        for the kernel, untiled 64-ch for the strips)."""
+        """One single-input pallas layer leaf: int8 row-tap weights + folded
+        scale/bias tiled to the 128-lane pair layout (the exact kernel needs
+        no border-strip weights)."""
         q, sw = _quantize_kernel(np.asarray(wp_bp[0]))
         wm, wc = pack_row_tap_weights(q)
         comb = s_in * sw
@@ -162,11 +162,9 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
         if s_out is not None:
             comb, b = comb / s_out, b / s_out
         return {
-            "wm": jnp.asarray(wm), "wc": jnp.asarray(wc), "wq": jnp.asarray(q),
+            "wm": jnp.asarray(wm), "wc": jnp.asarray(wc),
             "scale": jnp.asarray(np.tile(comb, 2).astype(np.float32)),
             "bias": jnp.asarray(np.tile(b, 2).astype(np.float32)),
-            "scale64": jnp.asarray(comb.astype(np.float32)),
-            "bias64": jnp.asarray(b.astype(np.float32)),
         }
 
     # inbloc.conv2: int8(in2 scale) -> int8(s0 scale)
@@ -186,14 +184,11 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     sz = s["s0"] * swb / s["u32"]
     b31f = np.asarray(b31, np.float64) / s["u32"]
     u31 = {
-        "wm_x": jnp.asarray(wm_x), "wc_x": jnp.asarray(wc_x), "wq_x": jnp.asarray(qa),
-        "wm_z": jnp.asarray(wm_z), "wc_z": jnp.asarray(wc_z), "wq_z": jnp.asarray(qb),
+        "wm_x": jnp.asarray(wm_x), "wc_x": jnp.asarray(wc_x),
+        "wm_z": jnp.asarray(wm_z), "wc_z": jnp.asarray(wc_z),
         "scale_x": jnp.asarray(np.tile(sx, 2).astype(np.float32)),
         "scale_z": jnp.asarray(np.tile(sz, 2).astype(np.float32)),
-        "scale64_x": jnp.asarray(sx.astype(np.float32)),
-        "scale64_z": jnp.asarray(sz.astype(np.float32)),
         "bias": jnp.asarray(np.tile(b31f, 2).astype(np.float32)),
-        "bias64": jnp.asarray(b31f.astype(np.float32)),
     }
 
     # ub3.conv2: int8(u32) -> int8(ol)
@@ -250,8 +245,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         ndvi_n = (ndvi_blocks - stats.mean_ndvi) / stats.std_ndvi
         h = lst_blocks.shape[1]
         hp = 2 * h
-        lst_up_p = _packed_resize(lst_n[..., None],
-                                  jnp.asarray(_phase_matrices(h, 4 * h, "cubic")))
+        lst_up_p = _packed_resize(lst_n[..., None], jnp.asarray(_phase_matrices(h, 4 * h, "cubic")))
         ndvi_p = _space_to_depth(ndvi_n[..., None])
         x = _packed_concat(lst_up_p, 1, ndvi_p, 1)          # (N, hp, hp, 8) f32
 
@@ -260,13 +254,16 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
                                 params["in1"], 2, params["in1"]["in_scale"])
         s1q = _quant(y, s["in2"])                            # int8 (N,hp,hp,64)
 
-        # inbloc.conv2 (pallas) -> s0p int8 at the s0 scale
-        s0p = conv_i8_layer(s1q, params["in2"], hp, hp, interpret=interpret)
-
-        # mid chain (proven XLA int8 path), fed by the dequantised phase-mean
+        # inbloc.conv2 (exact pallas, one custom call) -> s0p int8 at the s0
+        # scale + the mid-chain phase mean fused as a second output
+        in2 = params["in2"]
+        s0p, pm = conv_i8_exact(s1q, in2["wm"], in2["wc"], in2["scale"],
+                                in2["bias"], hp, hp, phase_mean=s["s0"],
+                                pm_dtype=jnp.bfloat16, interpret=interpret)
         n = s0p.shape[0]
-        s1_in = jnp.mean(s0p.reshape(n, hp, hp, 4, 16), axis=3,
-                         dtype=jnp.float32) * s["s0"]
+        # bf16 halves the custom-call boundary copy; the mid chain quantizes
+        # this tensor to int8 immediately, so bf16 rounding is below its noise
+        s1_in = pm.reshape(n, hp, hp, 16).astype(jnp.float32)
         s1m = _down_body(s1_in, mid["db1"])
         s2 = _down(s1m, mid["db2"])
         t = _down(s2, mid["db3"])
@@ -275,13 +272,18 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         t = _double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s1m], -1),
                         mid["ub2"]["convbloc"])
 
-        # ub3.conv1 (pallas dual: up-path + skip, concat-free)
+        # ub3.conv1 (exact pallas dual: up-path + skip, concat-free)
         up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
-        u31 = conv_i8_layer_dual(_quant(up_p, s["up"]), s0p, params["u31"],
+        d = params["u31"]
+        u31 = conv_i8_exact_dual(_quant(up_p, s["up"]), s0p,
+                                 d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
+                                 d["scale_x"], d["scale_z"], d["bias"],
                                  hp, hp, interpret=interpret)
 
-        # ub3.conv2 (pallas)
-        olp = conv_i8_layer(u31, params["u32"], hp, hp, interpret=interpret)
+        # ub3.conv2 (exact pallas)
+        u2 = params["u32"]
+        olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
+                            hp, hp, interpret=interpret)
 
         # outlay (XLA int8, input already quantized at the ol scale)
         yol = _conv_i8_packed_pre(olp, params["ol"], 16, params["ol"]["in_scale"],

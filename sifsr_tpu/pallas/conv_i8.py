@@ -228,6 +228,278 @@ def conv_i8_rows_dual(x_rows, z_rows, wmx, wcx, wmz, wcz, scale_x, scale_z,
       scale_x.reshape(1, 128), scale_z.reshape(1, 128), bias.reshape(1, 128))
 
 
+# ------------------------------------------------- v3: exact, self-padding
+#
+# The v2 layer above is exact only through an XLA wrapper (row-pad concat,
+# border strip convs, paste concat) — profiled at ~30 ms/iter of pure copy
+# glue in the composed serving step. v3 moves ALL padding and border handling
+# in-kernel, so one layer is ONE custom call, int8 in -> int8 out, zero XLA
+# glue:
+#
+# - top/bottom replicate-pad rows are lane permutations of the edge rows
+#   (models/packed._pad_perms top/bottom), computed in-register as a matmul
+#   with a 128x128 int8 permutation matrix (P_top/P_bot);
+# - the two wrong border column-pairs (b=0 left half, b=wb-1 right half —
+#   the roll wraps AND the packed-replicate column pad coincide there) are
+#   fixed with ONE extra matmul corr = V @ P_fix: P_fix carries the
+#   left-border permutation in lanes 0:64 and the right-border permutation
+#   in lanes 64:128, and the two fixes apply at disjoint rows, selected by
+#   an iota%wb row mask;
+# - corner pads are automatically right: perm_top/bottom and perm_left/right
+#   commute (both collapse a phase index), so fixing the composite of the
+#   permuted pad row equals padding the fixed row;
+# - the in2 layer's consumer (the mid-chain phase mean, an XLA reduce_sum +
+#   convert over a 1 GB int8 tensor at batch 1024) can be fused as a second
+#   output: mean over the 4 (q, r) phase slots of the REQUANTIZED int8
+#   output via a 128x32 int8 summing matmul — bit-identical to the XLA
+#   mean(s0p)*s_s0 path.
+#
+# Each slab is near memory-bound (~2 MB VMEM traffic vs ~1 µs of MXU work),
+# so the extra permutation matmuls are free in wall-clock.
+
+
+def border_fix_matrix(c: int = 16) -> np.ndarray:
+    """(128, 128) int8: out lanes 0:64 = perm_left applied to the pair's
+    first pixel (lanes 0:64), out lanes 64:128 = perm_right applied to the
+    second pixel (lanes 64:128)."""
+    from sifsr_tpu.models.packed import _pad_perms
+
+    _, _, perm_left, perm_right = _pad_perms(c)
+    p = np.zeros((8 * c, 8 * c), np.int8)
+    for j in range(4 * c):
+        p[perm_left[j], j] = 1
+        p[4 * c + perm_right[j], 4 * c + j] = 1
+    return p
+
+
+def pad_row_matrices(c: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """(P_top, P_bot), each (128, 128) int8: per-pixel phase permutation of a
+    pair row implementing the packed replicate row pad."""
+    from sifsr_tpu.models.packed import _pad_perms
+
+    perm_top, perm_bottom, _, _ = _pad_perms(c)
+    pt = np.zeros((8 * c, 8 * c), np.int8)
+    pb = np.zeros((8 * c, 8 * c), np.int8)
+    for px in range(2):
+        o = 4 * c * px
+        for j in range(4 * c):
+            pt[o + perm_top[j], o + j] = 1
+            pb[o + perm_bottom[j], o + j] = 1
+    return pt, pb
+
+
+def phase_mean_matrix(c: int = 16) -> np.ndarray:
+    """(128, 32) int8 summing matrix: lane (px, q, r, ch) -> col px*c + ch,
+    so y_i8 @ M sums the 4 phase slots of each of the pair's 2 pixels."""
+    m = np.zeros((8 * c, 2 * c), np.int8)
+    for px in range(2):
+        for q in range(2):
+            for r in range(2):
+                for ch in range(c):
+                    m[px * 4 * c + q * 2 * c + r * c + ch, px * c + ch] = 1
+    return m
+
+
+def _perm_dot(v, p_ref):
+    """Apply a 128x128 int8 permutation matrix to int8 rows, exactly."""
+    return jax.lax.dot_general(
+        v, p_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.int8)
+
+
+def _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb):
+    """Slab input V ((m+2wb, 128) int8) with in-register replicate row pads
+    at the first/last slab. x_ref block is the whole unpadded image
+    (1, total, 128)."""
+    row0 = pl.multiple_of(s * m, wb)
+    top_start = pl.multiple_of(jnp.maximum(row0 - wb, 0), wb)
+    bot_start = pl.multiple_of(jnp.minimum(row0 + m, total - wb), wb)
+    top = x_ref[0, pl.ds(top_start, wb), :]
+    top = jnp.where(s == 0, _perm_dot(x_ref[0, pl.ds(0, wb), :], ptop_ref), top)
+    bot = x_ref[0, pl.ds(bot_start, wb), :]
+    bot = jnp.where(s == n_slabs - 1,
+                    _perm_dot(x_ref[0, pl.ds(total - wb, wb), :], pbot_ref), bot)
+    mid = x_ref[0, pl.ds(row0, m), :]
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _composite_exact(v, pfix_ref, wb):
+    """Neighbour composite with the border column-pairs fixed in place."""
+    m2 = v.shape[0]
+    prev = _row_shift_down(v)
+    nxt = _row_shift_up(v)
+    comp = jnp.concatenate([prev[:, 64:128], nxt[:, 0:64]], axis=1)
+    corr = _perm_dot(v, pfix_ref)
+    b = jax.lax.broadcasted_iota(jnp.int32, (m2, 128), 0) % wb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m2, 128), 1)
+    mask = ((b == 0) & (lane < 64)) | ((b == wb - 1) & (lane >= 64))
+    return jnp.where(mask, corr, comp)
+
+
+def _dots(v, comp, wm_ref, wc_ref, m, wb):
+    y = None
+    for p in range(3):
+        lo = p * wb
+        ya = jax.lax.dot_general(
+            v[lo : lo + m], wm_ref[p],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        yb = jax.lax.dot_general(
+            comp[lo : lo + m], wc_ref[p],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        y = ya + yb if y is None else y + ya + yb
+    return y
+
+
+def _exact_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
+                  ptop_ref, pbot_ref, out_ref, *, relu, out_dtype, wb,
+                  n_slabs, total):
+    s = pl.program_id(1)
+    m = SLAB * wb
+    v = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
+    comp = _composite_exact(v, pfix_ref, wb)
+    y = _dots(v, comp, wm_ref, wc_ref, m, wb)
+    yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
+    out_ref[0] = _epilogue(yf, relu, out_dtype)
+
+
+def _exact_kernel_pm(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
+                     ptop_ref, pbot_ref, msum_ref, pm_scale_ref, out_ref,
+                     pm_ref, *, relu, wb, n_slabs, total, pm_dtype):
+    """int8-out variant that also emits the phase mean of the requantized
+    output (f32, 32 lanes = 2 px x 16 ch)."""
+    s = pl.program_id(1)
+    m = SLAB * wb
+    v = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
+    comp = _composite_exact(v, pfix_ref, wb)
+    y = _dots(v, comp, wm_ref, wc_ref, m, wb)
+    yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
+    yq = _epilogue(yf, relu, jnp.int8)
+    out_ref[0] = yq
+    pm = jax.lax.dot_general(yq, msum_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    pm_ref[0] = (pm.astype(jnp.float32) * pm_scale_ref[0, 0]).astype(pm_dtype)
+
+
+def _exact_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
+                       scx_ref, scz_ref, bias_ref, pfix_ref, ptop_ref,
+                       pbot_ref, out_ref, *, relu, out_dtype, wb, n_slabs,
+                       total):
+    s = pl.program_id(1)
+    m = SLAB * wb
+    vx = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
+    cx = _composite_exact(vx, pfix_ref, wb)
+    yx = _dots(vx, cx, wmx_ref, wcx_ref, m, wb)
+    vz = _load_v_exact(z_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
+    cz = _composite_exact(vz, pfix_ref, wb)
+    yz = _dots(vz, cz, wmz_ref, wcz_ref, m, wb)
+    yf = (yx.astype(jnp.float32) * scx_ref[0]
+          + yz.astype(jnp.float32) * scz_ref[0] + bias_ref[0])
+    out_ref[0] = _epilogue(yf, relu, out_dtype)
+
+
+def _exact_specs(n, hp, wb):
+    img = pl.BlockSpec((1, hp * wb, 128), lambda i, s: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w = pl.BlockSpec((3, 128, 128), lambda i, s: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    perm = pl.BlockSpec((128, 128), lambda i, s: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
+                       memory_space=pltpu.VMEM)
+    return img, w, vec, perm, out
+
+
+def _perm_consts(dtype=jnp.int8):
+    pf = jnp.asarray(border_fix_matrix())
+    pt, pb = pad_row_matrices()
+    return pf, jnp.asarray(pt), jnp.asarray(pb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "wp", "relu", "out_dtype", "pm_dtype", "interpret"),
+)
+def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
+                  relu: bool = True, out_dtype=jnp.int8,
+                  phase_mean=None, pm_dtype=jnp.float32,
+                  interpret: bool = False):
+    """Exact packed-domain 3x3 conv 64->64 in one custom call.
+
+    x_packed: (N, hp, wp, 64) int8, UNPADDED; returns (N, hp, wp, 64)
+    out_dtype (+ the (N, hp, wp/2, 32) f32 phase-mean if phase_mean is the
+    dequant scale s_out — lanes (px, ch), reshape to (N, hp, wp, 16) via
+    .reshape(n, hp, wp, 16) is a free relayout)."""
+    n = x_packed.shape[0]
+    wb = wp // 2
+    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
+    x_rows = x_packed.reshape(n, hp * wb, 128)
+    img, w, vec, perm, out = _exact_specs(n, hp, wb)
+    pf, pt, pb = _perm_consts()
+    n_slabs = hp // SLAB
+    total = hp * wb
+    if phase_mean is None:
+        kern = functools.partial(_exact_kernel, relu=relu, out_dtype=out_dtype,
+                                 wb=wb, n_slabs=n_slabs, total=total)
+        y = pl.pallas_call(
+            kern,
+            grid=(n, n_slabs),
+            in_specs=[img, w, w, vec, vec, perm, perm, perm],
+            out_specs=out,
+            out_shape=jax.ShapeDtypeStruct((n, total, 128), out_dtype),
+            interpret=interpret,
+        )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128),
+          pf, pt, pb)
+        return y.reshape(n, hp, wp, 64)
+    kern = functools.partial(_exact_kernel_pm, relu=relu, wb=wb,
+                             n_slabs=n_slabs, total=total, pm_dtype=pm_dtype)
+    msum = pl.BlockSpec((128, 32), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    pm_sc = pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM)
+    pm_out = pl.BlockSpec((1, SLAB * wb, 32), lambda i, s: (i, s, 0),
+                          memory_space=pltpu.VMEM)
+    y, pm = pl.pallas_call(
+        kern,
+        grid=(n, n_slabs),
+        in_specs=[img, w, w, vec, vec, perm, perm, perm, msum, pm_sc],
+        out_specs=(out, pm_out),
+        out_shape=(jax.ShapeDtypeStruct((n, total, 128), jnp.int8),
+                   jax.ShapeDtypeStruct((n, total, 32), pm_dtype)),
+        interpret=interpret,
+    )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128),
+      pf, pt, pb, jnp.asarray(phase_mean_matrix()),
+      jnp.full((1, 1), phase_mean / 4.0, jnp.float32))
+    return y.reshape(n, hp, wp, 64), pm.reshape(n, hp, wb, 32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hp", "wp", "relu", "out_dtype", "interpret")
+)
+def conv_i8_exact_dual(x_packed, z_packed, wmx, wcx, wmz, wcz, scale_x,
+                       scale_z, bias, hp: int, wp: int, relu: bool = True,
+                       out_dtype=jnp.int8, interpret: bool = False):
+    """Exact skip-concat conv: conv(concat(x, z)) = conv_x(x) + conv_z(z),
+    both inputs unpadded (N, hp, wp, 64) int8, one custom call."""
+    n = x_packed.shape[0]
+    wb = wp // 2
+    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
+    img, w, vec, perm, out = _exact_specs(n, hp, wb)
+    pf, pt, pb = _perm_consts()
+    kern = functools.partial(_exact_kernel_dual, relu=relu, out_dtype=out_dtype,
+                             wb=wb, n_slabs=hp // SLAB, total=hp * wb)
+    y = pl.pallas_call(
+        kern,
+        grid=(n, hp // SLAB),
+        in_specs=[img, img, w, w, w, w, vec, vec, vec, perm, perm, perm],
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
+        interpret=interpret,
+    )(x_packed.reshape(n, hp * wb, 128), z_packed.reshape(n, hp * wb, 128),
+      wmx, wcx, wmz, wcz, scale_x.reshape(1, 128), scale_z.reshape(1, 128),
+      bias.reshape(1, 128), pf, pt, pb)
+    return y.reshape(n, hp, wp, 64)
+
+
 # ----------------------------------------------------- XLA wrapper with fix
 
 def _row_pad_packed(x: jnp.ndarray, c: int = 16) -> jnp.ndarray:

@@ -129,3 +129,83 @@ def test_row_shift_packing(rng):
     )(jnp.asarray(x))
     np.testing.assert_array_equal(np.asarray(down), np.roll(x, 1, axis=0))
     np.testing.assert_array_equal(np.asarray(up), np.roll(x, -1, axis=0))
+
+
+# ------------------------------- v3: exact self-padding kernels (no wrapper)
+
+from sifsr_tpu.pallas.conv_i8 import conv_i8_exact, conv_i8_exact_dual
+
+
+@pytest.mark.parametrize("hp,wp", [(32, 32), (16, 48)])
+def test_conv_i8_exact(rng, hp, wp):
+    """One custom call must equal the padded XLA int32 reference everywhere,
+    including all four borders and corners."""
+    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
+    wq = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
+    s_in = 0.03
+    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
+    bias = rng.normal(size=64).astype(np.float32)
+
+    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
+    y_ref = _ref_conv(xpad, wq, s_in * s_w, bias)
+
+    wm, wc = pack_row_tap_weights(wq)
+    comb = (s_in * s_w).astype(np.float32)
+    y = conv_i8_exact(jnp.asarray(x), jnp.asarray(wm), jnp.asarray(wc),
+                      jnp.asarray(np.tile(comb, 2)),
+                      jnp.asarray(np.tile(bias, 2).astype(np.float32)),
+                      hp, wp, relu=True, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
+
+
+def test_conv_i8_exact_phase_mean(rng):
+    """The fused second output must bit-match mean(s0p phases) * s_out
+    computed from the requantized int8 output."""
+    hp = wp = 32
+    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
+    wq = rng.integers(-10, 11, (3, 3, 64, 64)).astype(np.int8)
+    s_in, s_out = 0.02, 0.15
+    s_w = (0.001 + 0.005 * rng.random(64)).astype(np.float32)
+    bias = rng.normal(size=64).astype(np.float32)
+
+    wm, wc = pack_row_tap_weights(wq)
+    comb = (s_in * s_w / s_out).astype(np.float32)
+    y, pm = conv_i8_exact(jnp.asarray(x), jnp.asarray(wm), jnp.asarray(wc),
+                          jnp.asarray(np.tile(comb, 2)),
+                          jnp.asarray(np.tile(bias / s_out, 2).astype(np.float32)),
+                          hp, wp, relu=True, phase_mean=float(s_out),
+                          interpret=True)
+    y = np.asarray(y)
+    pm = np.asarray(pm).reshape(2, hp, wp, 16)
+    pm_ref = np.mean(y.reshape(2, hp, wp, 4, 16).astype(np.float32),
+                     axis=3) * s_out
+    np.testing.assert_allclose(pm, pm_ref, atol=1e-5, rtol=1e-6)
+
+
+def test_conv_i8_exact_dual(rng):
+    hp, wp = 16, 48
+    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
+    z = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
+    wqx = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
+    wqz = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
+    s_x, s_z = 0.03, 0.07
+    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
+    bias = rng.normal(size=64).astype(np.float32)
+
+    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
+    zpad = np.asarray(_replicate_pad_packed(jnp.asarray(z), 16))
+    y_ref = (_ref_conv(xpad, wqx, s_x * s_w, 0 * bias, relu=False)
+             + _ref_conv(zpad, wqz, s_z * s_w, bias, relu=False))
+    y_ref = np.maximum(y_ref, 0)
+
+    wm_x, wc_x = pack_row_tap_weights(wqx)
+    wm_z, wc_z = pack_row_tap_weights(wqz)
+    y = conv_i8_exact_dual(
+        jnp.asarray(x), jnp.asarray(z),
+        jnp.asarray(wm_x), jnp.asarray(wc_x), jnp.asarray(wm_z),
+        jnp.asarray(wc_z),
+        jnp.asarray(np.tile((s_x * s_w).astype(np.float32), 2)),
+        jnp.asarray(np.tile((s_z * s_w).astype(np.float32), 2)),
+        jnp.asarray(np.tile(bias, 2).astype(np.float32)),
+        hp, wp, relu=True, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)

@@ -1,0 +1,45 @@
+"""Composed Pallas int8 serving path vs the f32 model (CPU, interpret mode).
+
+The serving contract: make_pallas_sr_step must match the f32 ModelB_2 forward
+(reference model.py:608-645) within int8 quantization error on realistic
+inputs. On-hardware quality evidence for the real 64->256 shapes lives in
+EVAL_RESULTS.md (ASTER harness, indistinguishable from the f32 rows)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sifsr_tpu.data.statistics import Statistics
+from sifsr_tpu.inference import make_sr_step
+from sifsr_tpu.models.convert import load_torch_checkpoint
+from sifsr_tpu.models.pallas_serving import (
+    build_pallas_serving_params,
+    make_pallas_sr_step,
+)
+from sifsr_tpu.models.unet import ModelB2
+
+STATS = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
+                   mean_ndvi=0.35, std_ndvi=0.2)
+
+
+def test_pallas_serving_quality_vs_f32(rng):
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    # 32->128 keeps the interpreter fast; the path is shape-generic
+    cal_lst = (305.0 + 4.0 * rng.random((2, 32, 32))).astype(np.float32)
+    cal_ndvi = (0.4 + 0.4 * rng.random((2, 128, 128))).astype(np.float32)
+    params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, STATS)
+
+    model = ModelB2()
+    f32_step = make_sr_step(model, STATS, compute_dtype=jnp.float32)
+    pl_step = make_pallas_sr_step(STATS, interpret=True)
+
+    lst = jnp.asarray(304.0 + 6.0 * rng.random((2, 32, 32)), jnp.float32)
+    ndvi = jnp.asarray(0.3 + 0.5 * rng.random((2, 128, 128)), jnp.float32)
+    a = np.asarray(f32_step(variables, lst, ndvi))
+    b = np.asarray(pl_step(params, lst, ndvi))
+    d = np.abs(a - b)
+    assert np.sqrt((d**2).mean()) < 0.3
+    assert d.max() < 1.0
