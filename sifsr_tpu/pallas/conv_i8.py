@@ -338,24 +338,25 @@ def _composite_exact(v, pfix_ref, wb):
 
 
 def _dots(v, comp, wm_ref, wc_ref, m, wb):
-    y = None
-    for p in range(3):
-        lo = p * wb
-        ya = jax.lax.dot_general(
-            v[lo : lo + m], wm_ref[p],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        yb = jax.lax.dot_general(
-            comp[lo : lo + m], wc_ref[p],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        y = ya + yb if y is None else y + ya + yb
-    return y
+    """2 fused K=384 matmuls instead of 6 K=128: the 3 tap slices are
+    overlapping row-views lane-concatenated against the (384, 128)-reshaped
+    weights — fewer, deeper MXU ops pipeline measurably better."""
+    v3 = jnp.concatenate([v[0:m], v[wb : wb + m], v[2 * wb : 2 * wb + m]],
+                         axis=1)
+    c3 = jnp.concatenate([comp[0:m], comp[wb : wb + m],
+                          comp[2 * wb : 2 * wb + m]], axis=1)
+    ya = jax.lax.dot_general(v3, wm_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    yb = jax.lax.dot_general(c3, wc_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return ya + yb
 
 
 def _exact_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
                   ptop_ref, pbot_ref, out_ref, *, relu, out_dtype, wb,
-                  n_slabs, total):
+                  n_slabs, total, slab):
     s = pl.program_id(1)
-    m = SLAB * wb
+    m = slab * wb
     v = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
     comp = _composite_exact(v, pfix_ref, wb)
     y = _dots(v, comp, wm_ref, wc_ref, m, wb)
@@ -365,11 +366,11 @@ def _exact_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
 
 def _exact_kernel_pm(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
                      ptop_ref, pbot_ref, msum_ref, pm_scale_ref, out_ref,
-                     pm_ref, *, relu, wb, n_slabs, total, pm_dtype):
+                     pm_ref, *, relu, wb, n_slabs, total, pm_dtype, slab):
     """int8-out variant that also emits the phase mean of the requantized
     output (f32, 32 lanes = 2 px x 16 ch)."""
     s = pl.program_id(1)
-    m = SLAB * wb
+    m = slab * wb
     v = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
     comp = _composite_exact(v, pfix_ref, wb)
     y = _dots(v, comp, wm_ref, wc_ref, m, wb)
@@ -384,9 +385,9 @@ def _exact_kernel_pm(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
 def _exact_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
                        scx_ref, scz_ref, bias_ref, pfix_ref, ptop_ref,
                        pbot_ref, out_ref, *, relu, out_dtype, wb, n_slabs,
-                       total):
+                       total, slab):
     s = pl.program_id(1)
-    m = SLAB * wb
+    m = slab * wb
     vx = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
     cx = _composite_exact(vx, pfix_ref, wb)
     yx = _dots(vx, cx, wmx_ref, wcx_ref, m, wb)
@@ -398,15 +399,23 @@ def _exact_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
     out_ref[0] = _epilogue(yf, relu, out_dtype)
 
 
-def _exact_specs(n, hp, wb):
+EXACT_SLAB = 64  # output image-rows per grid step (grid-step overhead
+                 # dominates below this; VMEM bounds it above)
+
+
+def _exact_slab(hp: int) -> int:
+    return hp if hp <= EXACT_SLAB else EXACT_SLAB
+
+
+def _exact_specs(n, hp, wb, slab):
     img = pl.BlockSpec((1, hp * wb, 128), lambda i, s: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    w = pl.BlockSpec((3, 128, 128), lambda i, s: (0, 0, 0),
+    w = pl.BlockSpec((384, 128), lambda i, s: (0, 0),
                      memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     perm = pl.BlockSpec((128, 128), lambda i, s: (0, 0),
                         memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
+    out = pl.BlockSpec((1, slab * wb, 128), lambda i, s: (i, s, 0),
                        memory_space=pltpu.VMEM)
     return img, w, vec, perm, out
 
@@ -433,15 +442,16 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
     .reshape(n, hp, wp, 16) is a free relayout)."""
     n = x_packed.shape[0]
     wb = wp // 2
-    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
+    slab = _exact_slab(hp)
+    assert hp % slab == 0 and wb % 8 == 0, (hp, wp)
     x_rows = x_packed.reshape(n, hp * wb, 128)
-    img, w, vec, perm, out = _exact_specs(n, hp, wb)
+    img, w, vec, perm, out = _exact_specs(n, hp, wb, slab)
     pf, pt, pb = _perm_consts()
-    n_slabs = hp // SLAB
+    n_slabs = hp // slab
     total = hp * wb
     if phase_mean is None:
         kern = functools.partial(_exact_kernel, relu=relu, out_dtype=out_dtype,
-                                 wb=wb, n_slabs=n_slabs, total=total)
+                                 wb=wb, n_slabs=n_slabs, total=total, slab=slab)
         y = pl.pallas_call(
             kern,
             grid=(n, n_slabs),
@@ -449,14 +459,15 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
             out_specs=out,
             out_shape=jax.ShapeDtypeStruct((n, total, 128), out_dtype),
             interpret=interpret,
-        )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128),
-          pf, pt, pb)
+        )(x_rows, wm.reshape(384, 128), wc.reshape(384, 128),
+          scale.reshape(1, 128), bias.reshape(1, 128), pf, pt, pb)
         return y.reshape(n, hp, wp, 64)
     kern = functools.partial(_exact_kernel_pm, relu=relu, wb=wb,
-                             n_slabs=n_slabs, total=total, pm_dtype=pm_dtype)
+                             n_slabs=n_slabs, total=total, pm_dtype=pm_dtype,
+                             slab=slab)
     msum = pl.BlockSpec((128, 32), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     pm_sc = pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM)
-    pm_out = pl.BlockSpec((1, SLAB * wb, 32), lambda i, s: (i, s, 0),
+    pm_out = pl.BlockSpec((1, slab * wb, 32), lambda i, s: (i, s, 0),
                           memory_space=pltpu.VMEM)
     y, pm = pl.pallas_call(
         kern,
@@ -466,7 +477,8 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
         out_shape=(jax.ShapeDtypeStruct((n, total, 128), jnp.int8),
                    jax.ShapeDtypeStruct((n, total, 32), pm_dtype)),
         interpret=interpret,
-    )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128),
+    )(x_rows, wm.reshape(384, 128), wc.reshape(384, 128),
+      scale.reshape(1, 128), bias.reshape(1, 128),
       pf, pt, pb, jnp.asarray(phase_mean_matrix()),
       jnp.full((1, 1), phase_mean / 4.0, jnp.float32))
     return y.reshape(n, hp, wp, 64), pm.reshape(n, hp, wb, 32)
@@ -482,20 +494,23 @@ def conv_i8_exact_dual(x_packed, z_packed, wmx, wcx, wmz, wcz, scale_x,
     both inputs unpadded (N, hp, wp, 64) int8, one custom call."""
     n = x_packed.shape[0]
     wb = wp // 2
-    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
-    img, w, vec, perm, out = _exact_specs(n, hp, wb)
+    slab = _exact_slab(hp)
+    assert hp % slab == 0 and wb % 8 == 0, (hp, wp)
+    img, w, vec, perm, out = _exact_specs(n, hp, wb, slab)
     pf, pt, pb = _perm_consts()
     kern = functools.partial(_exact_kernel_dual, relu=relu, out_dtype=out_dtype,
-                             wb=wb, n_slabs=hp // SLAB, total=hp * wb)
+                             wb=wb, n_slabs=hp // slab, total=hp * wb, slab=slab)
     y = pl.pallas_call(
         kern,
-        grid=(n, hp // SLAB),
+        grid=(n, hp // slab),
         in_specs=[img, img, w, w, w, w, vec, vec, vec, perm, perm, perm],
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
         interpret=interpret,
     )(x_packed.reshape(n, hp * wb, 128), z_packed.reshape(n, hp * wb, 128),
-      wmx, wcx, wmz, wcz, scale_x.reshape(1, 128), scale_z.reshape(1, 128),
+      wmx.reshape(384, 128), wcx.reshape(384, 128),
+      wmz.reshape(384, 128), wcz.reshape(384, 128),
+      scale_x.reshape(1, 128), scale_z.reshape(1, 128),
       bias.reshape(1, 128), pf, pt, pb)
     return y.reshape(n, hp, wp, 64)
 
