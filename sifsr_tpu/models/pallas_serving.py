@@ -49,7 +49,14 @@ from sifsr_tpu.models.quantized import _quantize_kernel
 from sifsr_tpu.pallas.conv_i8 import (
     conv_i8_exact,
     conv_i8_exact_dual,
+    conv_i8_prestacked,
     pack_row_tap_weights,
+)
+from sifsr_tpu.pallas.resize_phases import (
+    phases_to_nhwc,
+    phases_to_packed_x2,
+    phases_to_packed_x4,
+    upsample_phases,
 )
 
 __all__ = ["build_pallas_serving_params", "make_pallas_sr_step"]
@@ -145,11 +152,30 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
 
     pk = pp["packed"]
 
-    # XLA int8 leaves: in_conv1 (packed 8->64), outlay (packed 64->4)
-    in1 = _qleaf(*pk["in_conv1"])
-    in1["in_scale"] = jnp.float32(s["in1"])
+    # outlay stays an XLA int8 conv (zero-pad + exact border strips)
     ol = _qleaf(*pk["outlay"])
     ol["in_scale"] = jnp.float32(s["ol"])
+
+    # inbloc.conv1 (packed 8->64) as the prestacked pallas matmul: the 3x3
+    # neighbourhood is lane-stacked by XLA (order (dh, dw) row-major, then
+    # 8 packed channels), per-pixel block-diagonal weights
+    w1, b1 = pk["in_conv1"]
+    q1, sw1 = _quantize_kernel(np.asarray(w1))
+    w144 = np.zeros((144, 128), np.int8)
+    for dh in range(3):
+        for dw in range(3):
+            pidx = dh * 3 + dw
+            for px in range(2):
+                w144[px * 72 + pidx * 8 : px * 72 + pidx * 8 + 8,
+                     px * 64 : (px + 1) * 64] = q1[dh, dw]
+    comb1 = s["in1"] * sw1 / s["in2"]
+    in1 = {
+        "w144": jnp.asarray(w144),
+        "scale": jnp.asarray(np.tile(comb1, 2).astype(np.float32)),
+        "bias": jnp.asarray(np.tile(np.asarray(b1, np.float64) / s["in2"], 2)
+                            .astype(np.float32)),
+        "in_scale": jnp.float32(s["in1"]),
+    }
 
     def pallas_leaf(wp_bp, s_in, s_out):
         """One single-input pallas layer leaf: int8 row-tap weights + folded
@@ -243,16 +269,34 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         mid, s = params["mid"], params["s"]
         lst_n = (lst_blocks - stats.mean_lst) / stats.std_lst
         ndvi_n = (ndvi_blocks - stats.mean_ndvi) / stats.std_ndvi
+        n = lst_blocks.shape[0]
         h = lst_blocks.shape[1]
         hp = 2 * h
-        lst_up_p = _packed_resize(lst_n[..., None], jnp.asarray(_phase_matrices(h, 4 * h, "cubic")))
-        ndvi_p = _space_to_depth(ndvi_n[..., None])
-        x = _packed_concat(lst_up_p, 1, ndvi_p, 1)          # (N, hp, hp, 8) f32
+        wb = hp // 2
+        # pallas phase-separated cubic x4 with the in1-scale quantisation
+        # fused into its epilogue (XLA resize formulations all lose badly
+        # here — see pallas/resize_phases.py)
+        in1 = params["in1"]
+        lst_q = phases_to_packed_x4(upsample_phases(
+            lst_n[..., None], 4, "cubic", out_dtype=jnp.int8,
+            scale=in1["in_scale"], interpret=interpret))     # (N,hp,hp,4) i8
+        ndvi_q = _quant(_space_to_depth(ndvi_n[..., None]), in1["in_scale"])
 
-        # inbloc.conv1 (XLA int8) -> requant to in2's scale
-        y = _conv_i8_packed_pre(_quant(x, params["in1"]["in_scale"]),
-                                params["in1"], 2, params["in1"]["in_scale"])
-        s1q = _quant(y, s["in2"])                            # int8 (N,hp,hp,64)
+        # inbloc.conv1 (prestacked pallas matmul): XLA lane-stacks the 3x3
+        # neighbourhood of the 8-channel packed input — int8 slices/concats
+        # only, no f32 conv intermediate, no quant passes, and the output
+        # feeds inbloc.conv2 pallas-to-pallas (no relayout copies)
+        xq = jnp.concatenate([lst_q.reshape(n, hp, hp, 4, 1),
+                              ndvi_q.reshape(n, hp, hp, 4, 1)],
+                             -1).reshape(n, hp, hp, 8)
+        xp = _replicate_pad_packed(xq, 2)
+        x9 = jnp.concatenate(
+            [xp[:, 1 + dh : 1 + dh + hp, 1 + dw : 1 + dw + hp]
+             for dh in (-1, 0, 1) for dw in (-1, 0, 1)], -1)
+        x144 = x9.reshape(n, hp * wb, 144)
+        s1q = conv_i8_prestacked(x144, in1["w144"], in1["scale"],
+                                 in1["bias"],
+                                 interpret=interpret).reshape(n, hp, hp, 64)
 
         # inbloc.conv2 (exact pallas, one custom call) -> s0p int8 at the s0
         # scale + the mid-chain phase mean fused as a second output
@@ -262,20 +306,27 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
                                 pm_dtype=jnp.bfloat16, interpret=interpret)
         n = s0p.shape[0]
         # bf16 halves the custom-call boundary copy; the mid chain quantizes
-        # this tensor to int8 immediately, so bf16 rounding is below its noise
-        s1_in = pm.reshape(n, hp, hp, 16).astype(jnp.float32)
+        # this tensor to int8 immediately (casting inside its own fusion),
+        # so bf16 rounding is below its noise
+        s1_in = pm.reshape(n, hp, hp, 16)
         s1m = _down_body(s1_in, mid["db1"])
         s2 = _down(s1m, mid["db2"])
         t = _down(s2, mid["db3"])
+        # ub1/ub2 upsamples stay on the XLA einsum: their tensors live in
+        # XLA-chosen (batch-minor) layouts on both sides, so a pallas hop
+        # here buys two relayout copies that cost more than the einsum
         t = _double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s2], -1),
                         mid["ub1"]["convbloc"])
         t = _double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s1m], -1),
                         mid["ub2"]["convbloc"])
 
-        # ub3.conv1 (exact pallas dual: up-path + skip, concat-free)
-        up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
+        # ub3.conv1 (exact pallas dual: up-path + skip, concat-free); the
+        # x2 upsample quantizes to the up scale inside the phase kernel
+        up_q = phases_to_packed_x2(upsample_phases(
+            t, 2, "linear_ac", out_dtype=jnp.int8, scale=s["up"],
+            interpret=interpret))
         d = params["u31"]
-        u31 = conv_i8_exact_dual(_quant(up_p, s["up"]), s0p,
+        u31 = conv_i8_exact_dual(up_q, s0p,
                                  d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
                                  d["scale_x"], d["scale_z"], d["bias"],
                                  hp, hp, interpret=interpret)
@@ -285,10 +336,34 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
                             hp, hp, interpret=interpret)
 
-        # outlay (XLA int8, input already quantized at the ol scale)
-        yol = _conv_i8_packed_pre(olp, params["ol"], 16, params["ol"]["in_scale"],
-                                  relu=False)                # (N,hp,hp,4)
+        # outlay (XLA int8, input already quantized at the ol scale):
+        # zero-padded conv (pad folded into the conv op, no materialised
+        # replicate-pad copy) + exact replicate-pad border strips pasted
+        # into the final SR — the wrong ring is 1 packed px (2 fine px)
+        ol = params["ol"]
+        yol = lax.conv_general_dilated(
+            olp, ol["q"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
         sr = _depth_to_space(yol, 1)[..., 0]
+
+        def strip(part, take_h, take_w):
+            """Exact outlay on a thin 2-packed-px slice of olp: the packed
+            replicate pad is applied to the slice only (the far-side pad row
+            it fabricates lands outside the taken outputs)."""
+            y = lax.conv_general_dilated(
+                _replicate_pad_packed(part, 16), ol["q"], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
+            return _depth_to_space(y[:, take_h, take_w], 1)[..., 0]
+
+        all_ = slice(None)
+        sr = sr.at[:, :2, :].set(strip(olp[:, 0:2], slice(0, 1), all_))
+        sr = sr.at[:, -2:, :].set(strip(olp[:, -2:], slice(1, 2), all_))
+        sr = sr.at[:, :, :2].set(strip(olp[:, :, 0:2], all_, slice(0, 1)))
+        sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
         return sr * stats.std_lst + stats.mean_lst
 
     return sr_step

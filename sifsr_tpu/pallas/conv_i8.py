@@ -599,3 +599,48 @@ def conv_i8_layer_dual(x_packed, z_packed, leaf, hp: int, wp: int,
     yl = _epilogue(yl, relu, out_dtype)
     yr = _epilogue(yr, relu, out_dtype)
     return jnp.concatenate([yl, y[:, :, 2:-2, :], yr], axis=2)
+
+
+# ------------------------------------------ pre-stacked conv (skinny layers)
+
+def _prestacked_kernel(x_ref, w_ref, sc_ref, bias_ref, out_ref, *, relu,
+                       out_dtype):
+    y = jax.lax.dot_general(x_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
+    out_ref[0] = _epilogue(yf, relu, out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "out_dtype", "interpret")
+)
+def conv_i8_prestacked(x_rows, w, scale, bias, relu: bool = True,
+                       out_dtype=jnp.int8, interpret: bool = False):
+    """Conv with the full 3x3 neighbourhood pre-stacked in lanes by XLA:
+    x_rows (N, R, K) int8 where each row already concatenates every tap of
+    its receptive field, w (K, 128) int8 block-diagonal per output pixel.
+    The kernel is then ONE matmul — used for the skinny inbloc.conv1 layer
+    (2->16 fine), whose pair-lane count (16) is too small for the register
+    roll/permutation machinery of the 64-channel kernels."""
+    n, total, k = x_rows.shape
+    slab_rows = min(total, EXACT_SLAB * 64)
+    assert total % slab_rows == 0, (total, slab_rows)
+    kern = functools.partial(_prestacked_kernel, relu=relu, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(n, total // slab_rows),
+        in_specs=[
+            pl.BlockSpec((1, slab_rows, k), lambda i, s: (i, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 128), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, slab_rows, 128), lambda i, s: (i, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, total, 128), out_dtype),
+        interpret=interpret,
+    )(x_rows, w, scale.reshape(1, 128), bias.reshape(1, 128))
