@@ -66,7 +66,9 @@ def _roll_lanes(v, shift):
 
 def _phase_kernel(x_ref, rc_ref, cc_ref, sc_ref, out_ref, *, factor, deltas,
                   c, out_dtype):
-    v = x_ref[0]                                   # (H, W*C) f32
+    # f32 immediately: Mosaic's dynamic_rotate has no sub-32-bit support,
+    # and bf16 inputs (the serving mid chain) would otherwise hit the rolls
+    v = x_ref[0].astype(jnp.float32)               # (H, W*C)
     r = None
     for j, d in enumerate(deltas):
         term = rc_ref[0, j] * _roll_rows(v, -d)    # (H,1) x (H,WC)
