@@ -69,6 +69,9 @@ def main(argv=None):
     parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
     parser.add_argument("--int8", action="store_true",
                         help="int8 quantized serving (~1.4x faster, ~0.07 K RMSE vs f32)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="fused Pallas pair-conv int8 serving (the fastest "
+                             "path; granule-self-calibrated like --int8)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -98,24 +101,37 @@ def main(argv=None):
     ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
     print(f"LST {lst.shape}, NDVI {ndvi.shape}")
 
-    if args.int8:
+    if args.int8 or args.pallas:
         # quantize + calibrate on a sample of the granule's own valid blocks
         import numpy as _np
 
         from sifsr_tpu.inference import tile_granule
-        from sifsr_tpu.models.quantized import (
-            calibrate_activation_scales,
-            make_int8_sr_step,
-            quantize_serving_params,
-        )
 
         lst_b, ndvi_b, grid = tile_granule(lst, _np.clip(ndvi, -1, 1))
         valid = (lst_b != 0).all(axis=(1, 2))
         sel = _np.nonzero(valid)[0][:8]
-        qparams = calibrate_activation_scales(
-            variables, quantize_serving_params(variables), lst_b[sel], ndvi_b[sel], stats
-        )
-        step = make_int8_sr_step(stats)
+        if args.pallas:
+            from sifsr_tpu.models.pallas_serving import (
+                build_pallas_serving_params,
+                make_pallas_sr_step,
+            )
+
+            qparams = build_pallas_serving_params(
+                variables, lst_b[sel], ndvi_b[sel], stats
+            )
+            step = make_pallas_sr_step(stats)
+        else:
+            from sifsr_tpu.models.quantized import (
+                calibrate_activation_scales,
+                make_int8_sr_step,
+                quantize_serving_params,
+            )
+
+            qparams = calibrate_activation_scales(
+                variables, quantize_serving_params(variables), lst_b[sel],
+                ndvi_b[sel], stats
+            )
+            step = make_int8_sr_step(stats)
         from sifsr_tpu.inference import untile_mosaic
 
         n = lst_b.shape[0]

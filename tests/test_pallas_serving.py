@@ -43,3 +43,33 @@ def test_pallas_serving_quality_vs_f32(rng):
     d = np.abs(a - b)
     assert np.sqrt((d**2).mean()) < 0.3
     assert d.max() < 1.0
+
+
+def test_predict_cli_pallas(tmp_path, rng, monkeypatch):
+    """predict --pallas end-to-end on a tiny synthetic granule: tile ->
+    pallas serving (interpret on CPU) -> mosaic -> georeferenced tiff."""
+    from sifsr_tpu.cli.predict import main as predict_main
+    from sifsr_tpu.geo.tiff import read_geotiff, write_geotiff
+
+    lst = (300.0 + 8.0 * rng.random((128, 128))).astype(np.float32)
+    ndvi = (0.1 + 0.6 * rng.random((512, 512))).astype(np.float32)
+    lst_tif = str(tmp_path / "lst.tif")
+    ndvi_tif = str(tmp_path / "ndvi.tif")
+    write_geotiff(lst_tif, lst, geotransform=(0.0, 1000.0, 0.0, 0.0, 0.0, -1000.0))
+    write_geotiff(ndvi_tif, ndvi, geotransform=(0.0, 250.0, 0.0, 0.0, 0.0, -250.0))
+
+    monkeypatch.chdir("/root/repo")
+    out_dir = str(tmp_path / "pred")
+    predict_main([
+        "--MOD21A1D_file_path", lst_tif,
+        "--MOD09GQ_file_path", ndvi_tif,
+        "--ndvi_is_precomputed",
+        "--model_dir", "weights/modelB_1009",
+        "--statistics", "data/statistics_testset.json",
+        "--batch_size", "4",
+        "--pallas",
+        "--save_path", out_dir,
+    ])
+    pred = read_geotiff(out_dir + "/prediction.tiff")
+    assert pred.array.shape == (512, 512)
+    assert 280 < np.mean(pred.array) < 330
