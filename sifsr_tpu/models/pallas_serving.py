@@ -302,17 +302,33 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
                                  interpret=interpret).reshape(n, hp, hp, 64)
 
         # inbloc.conv2 (exact pallas, one custom call) -> s0p int8 at the s0
-        # scale + the mid-chain phase mean fused as a second output
+        # scale + the mid-chain phase mean fused as a second output, emitted
+        # ALREADY int8-quantized at db1's first-conv input scale: quarters
+        # the boundary copy and feeds that conv pre-quantized
         in2 = params["in2"]
+        db1 = mid["db1"]
+        s_db1 = db1["res"]["conv1"]["conv"]["in_scale"]
         s0p, pm = conv_i8_exact(s1q, in2["wm"], in2["wc"], in2["scale"],
-                                in2["bias"], hp, hp, phase_mean=s["s0"],
-                                pm_dtype=jnp.bfloat16, interpret=interpret)
-        n = s0p.shape[0]
-        # bf16 halves the custom-call boundary copy; the mid chain quantizes
-        # this tensor to int8 immediately (casting inside its own fusion),
-        # so bf16 rounding is below its noise
-        s1_in = pm.reshape(n, hp, hp, 16)
-        s1m = _down_body(s1_in, mid["db1"])
+                                in2["bias"], hp, hp,
+                                phase_mean=s["s0"] / s_db1,
+                                pm_dtype=jnp.int8, interpret=interpret)
+        pm = pm.reshape(s0p.shape[0], hp, hp, 16)
+
+        def mid_conv_prequant(x_q, s_x, leaf, relu=True):
+            xq = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            y = lax.conv_general_dilated(
+                xq, leaf["q"], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (s_x * leaf["scale"]) + leaf["bias"]
+            return jnp.maximum(y, 0.0) if relu else y
+
+        from sifsr_tpu.models.quantized_packed import _conv_i8_mid
+
+        r = mid_conv_prequant(pm, s_db1, db1["res"]["conv1"]["conv"])
+        r = _conv_i8_mid(r, db1["res"]["conv2"]["conv"])
+        res = pm.astype(jnp.float32) * s_db1 + r
+        s1m = _conv_i8_mid(res, db1["lastconv"]["conv"])
         s2 = _down(s1m, mid["db2"])
         t = _down(s2, mid["db3"])
         # ub1/ub2 upsamples stay on the XLA einsum: their tensors live in
@@ -325,9 +341,12 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
 
         # ub3.conv1 (exact pallas dual: up-path + skip, concat-free); the
         # x2 upsample quantizes to the up scale inside the phase kernel
-        up_q = phases_to_packed_x2(upsample_phases(
-            t, 2, "linear_ac", out_dtype=jnp.int8, scale=s["up"],
-            interpret=interpret))
+        y6 = upsample_phases(t, 2, "linear_ac", out_dtype=jnp.int8,
+                             scale=s["up"], interpret=interpret)
+        # one explicit 7D transpose straight to pair-rows packed form
+        # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
+        up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
+            0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
         d = params["u31"]
         u31 = conv_i8_exact_dual(up_q, s0p,
                                  d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],

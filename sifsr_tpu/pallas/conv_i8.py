@@ -379,7 +379,8 @@ def _exact_kernel_pm(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
     out_ref[0] = yq
     pm = jax.lax.dot_general(yq, msum_ref[...], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    pm_ref[0] = (pm.astype(jnp.float32) * pm_scale_ref[0, 0]).astype(pm_dtype)
+    pmf = pm.astype(jnp.float32) * pm_scale_ref[0, 0]
+    pm_ref[0] = _epilogue(pmf, False, pm_dtype)
 
 
 def _exact_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
