@@ -36,13 +36,25 @@ PATCH_FLOPS = 3.0e9          # conv FLOPs per 64->256 patch (MAC*2)
 V5E_INT8_PEAK = 394e12
 
 
-def _measure(fn, *args, iters=10):
-    float(jnp.asarray(fn(*args)).mean())  # compile + force through the tunnel
+def _measure(fn, lst, ndvi, iters=10):
+    """Time `iters` dependency-chained serving steps inside ONE jitted scan:
+    per-call dispatch through the axon tunnel costs ~5-10 ms and its
+    block_until_ready is a no-op, so a Python-loop measurement is dominated
+    by host round-trips at small batches; the scan keeps the chain on
+    device and the trailing float() is the only sync."""
+    from jax import lax
+
+    @jax.jit
+    def run(l, nd):
+        def body(carry, _):
+            out = fn(carry, nd)
+            return carry + 0.0 * out[:, : carry.shape[1], : carry.shape[2]], out.mean()
+
+        return lax.scan(body, l, None, length=iters)
+
+    float(run(lst, ndvi)[1].sum())  # compile + warm
     t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for _ in range(iters):
-        acc = acc + jnp.asarray(fn(*args)).mean()
-    float(acc)  # one host sync for the whole chain
+    float(run(lst, ndvi)[1].sum())
     return time.perf_counter() - t0, iters
 
 
@@ -59,6 +71,9 @@ def bench_serving():
     cal_lst = (290.0 + 5.0 * rng.random((8, 64, 64))).astype(np.float32)
     cal_ndvi = (rng.random((8, 256, 256)) * 0.8).astype(np.float32)
 
+    # each path races at its own best batch (a serving deployment knob):
+    # the pallas path's device time is batch-linear from 256 up, while the
+    # XLA int8 path amortises its fixed passes best at 1024
     candidates = {}
     try:
         from sifsr_tpu.models.pallas_serving import (
@@ -67,6 +82,7 @@ def bench_serving():
         candidates["pallas_i8"] = (
             make_pallas_sr_step(stats),
             build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats),
+            256,
         )
     except Exception as exc:  # pragma: no cover
         import sys
@@ -78,26 +94,27 @@ def bench_serving():
 
         qparams = calibrate_activation_scales(
             variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats)
-        candidates["int8_static"] = (make_int8_sr_step(stats), qparams)
+        candidates["int8_static"] = (make_int8_sr_step(stats), qparams, 1024)
     except Exception as exc:  # pragma: no cover
         import sys
 
         print(f"int8_static setup failed: {exc}", file=sys.stderr)
 
-    batch = 1024
-    lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
-    ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
-
     paths = {}
-    for name, (sr_step, params) in candidates.items():
+    batches = {}
+    for name, (sr_step, params, batch) in candidates.items():
+        lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
+        ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
         try:
-            dt, iters = _measure(lambda l, n: sr_step(params, l, n), lst, ndvi)
+            dt, iters = _measure(lambda l, n: sr_step(params, l, n), lst, ndvi,
+                                 iters=20)
             paths[name] = round(batch * iters / dt, 1)
+            batches[name] = batch
         except Exception as exc:  # pragma: no cover
             import sys
 
             print(f"bench path {name} failed: {exc}", file=sys.stderr)
-    return paths, batch
+    return paths, batches
 
 
 def bench_training():
@@ -151,7 +168,7 @@ def bench_training():
 
 
 def main():
-    paths, batch = bench_serving()
+    paths, batches = bench_serving()
     train = bench_training()
     best_path = max(paths, key=paths.get) if paths else ""
     best = paths.get(best_path, 0.0)
@@ -160,7 +177,7 @@ def main():
         "value": best,
         "unit": "patches/s",
         "vs_baseline": round(best / 10000.0, 3),
-        "batch": batch,
+        "batch": batches.get(best_path),
         "path": best_path,
         "paths": paths,
         "mfu_int8": round(best * PATCH_FLOPS / V5E_INT8_PEAK, 4),
