@@ -28,7 +28,7 @@ import numpy as np
 from jax import lax
 
 from sifsr_tpu.models.unet import _PAD_MODES
-from sifsr_tpu.ops.resize import resize_axis_gather, resize_matrix
+from sifsr_tpu.ops.resize import resize_matrix
 
 __all__ = ["InferenceModelB2", "fold_batchnorm", "upsample_bilinear_x2_nhwc"]
 

@@ -36,7 +36,7 @@ import numpy as np
 from jax import lax
 
 from sifsr_tpu.models.fused import fold_batchnorm
-from sifsr_tpu.ops.resize import resize_axis_gather, resize_matrix
+from sifsr_tpu.ops.resize import resize_matrix
 
 __all__ = ["pack_conv_weights", "pack_serving_params", "packed_forward", "make_packed_sr_step"]
 
@@ -123,16 +123,6 @@ def _packed_resize(x: jnp.ndarray, phases: jnp.ndarray) -> jnp.ndarray:
     y = jnp.einsum("ejw,ndiwc->nijdec", phases, t, precision=lax.Precision.HIGHEST)
     n_, oi, oj = y.shape[0], y.shape[1], y.shape[2]
     return y.reshape(n_, oi, oj, 4 * c).astype(x.dtype)
-
-
-def _packed_resize_gather(x: jnp.ndarray, out_size: int, kind: str) -> jnp.ndarray:
-    """(N, h, w, C) -> packed (N, out/2, out/2, 4C): same values and (q, r, c)
-    channel order as _packed_resize(_phase_matrices(...)), but via the
-    gather/fma tap passes (ops/resize.resize_axis_gather) — the einsum form
-    lowers through far-off-roofline TPU dot emitters (round-2 profile)."""
-    up = resize_axis_gather(x, 1, out_size, kind)
-    up = resize_axis_gather(up, 2, out_size, kind)
-    return _space_to_depth(up)
 
 
 def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:

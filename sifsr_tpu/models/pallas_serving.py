@@ -53,8 +53,6 @@ from sifsr_tpu.pallas.conv_i8 import (
     pack_row_tap_weights,
 )
 from sifsr_tpu.pallas.resize_phases import (
-    phases_to_nhwc,
-    phases_to_packed_x2,
     phases_to_packed_x4,
     upsample_phases,
 )
@@ -244,18 +242,6 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
 
 def _quant(x, scale):
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-
-
-def _conv_i8_packed_pre(x_q, leaf, c_in, s_in, relu=True):
-    """XLA int8 packed conv on an already-quantized input."""
-    xq = _replicate_pad_packed(x_q, c_in)
-    y = lax.conv_general_dilated(
-        xq, leaf["q"], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    y = y.astype(jnp.float32) * (s_in * leaf["scale"]) + leaf["bias"]
-    return jnp.maximum(y, 0.0) if relu else y
 
 
 def make_pallas_sr_step(stats, interpret: bool | None = None):

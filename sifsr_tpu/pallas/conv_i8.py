@@ -1,39 +1,40 @@
-"""Fused int8 Pallas conv for the 256²-resolution U-Net layers.
+"""Exact self-padding int8 Pallas pair-convs for the 256²-resolution layers.
 
 Why: round 1's serving profile showed the C=16 convs at 256² dominating
-device time — XLA's int8 conv at C=K=16 measures ~5.7% of v5e int8 peak (MXU
-lanes mostly padding) and the quantize/pad elementwise passes add ~40% step
-time on top. A first fused-conv attempt that materialised shifted pair
-tensors in XLA moved the cost into ~GB-scale HBM copies (profiled: kernels
-32 ms, glue 290 ms per 1024-batch). This version eliminates the glue:
+device time — XLA's int8 conv at C=K=16 measures ~5.7% of v5e int8 peak
+(MXU lanes mostly padding) and the quantize/pad elementwise passes add ~40%
+step time on top. Round 2 additionally showed that EVERY XLA<->Pallas
+boundary costs a 1-2 ms layout-conversion copy (XLA prefers batch-minor
+layouts; custom calls pin {2,1,0}), so a layer must be ONE custom call with
+zero XLA glue. Design:
 
 - operate in the 2x2 space-to-depth packed domain (models/packed.py): a 3x3
   conv 16->16 @256² becomes a 3x3 conv 64->64 @128² — 4x the MACs but
   lane-dense, a large net win over the >8x lane waste of the unpacked form;
-- tensors are stored as *pixel-pair rows*: row r = image row h, pair b
-  (2 adjacent packed pixels x 64 channels = 128 lanes). The kernel input is
-  the ROW-padded packed tensor only — no column padding, no shifted copies:
-  (N, (H+2)*W/2, 128) int8, a free reshape of (N, H+2, W, 64);
-- per 16-row slab the kernel loads one value V ((16+2)*W/2, 128) and forms
-  the neighbour composite C = [roll(V,+1)[:,64:] | roll(V,-1)[:,:64]]
-  (pixels 2b-1 and 2b+2) with register rolls — zero HBM traffic;
-- the conv is then 6 dense int8 MXU matmuls per slab (75% useful-MAC
-  density):   Y = sum_P  V_P @ WM_P  +  C_P @ WC_P,
-  WM_P[h*64+c, o*64+k] = w[P, h-o+1, c, k]           (dense)
-  WC_P[c, k] = w[P, 0, c, k]; WC_P[64+c, 64+k] = w[P, 2, c, k]  (half)
-- the register rolls wrap at image-row and slab boundaries, and the packed
-  replicate-pad needs a phase permutation at the left/right borders; BOTH
-  error classes land exactly on output pairs b=0 and b=W/2-1 (packed
-  columns {0,1,W-2,W-1}), which the XLA wrapper recomputes with thin
-  (4-pixel-wide) exact strip convs and pastes over — ~3% extra compute;
+- tensors are *pixel-pair rows*: row r = (image row, pair) — 2 adjacent
+  packed pixels x 64 channels = 128 lanes; the input is the UNPADDED packed
+  tensor, a free reshape of (N, H, W, 64) int8;
+- per slab the kernel loads V, builds the neighbour composite
+  C = [roll(V,+1)[:,64:] | roll(V,-1)[:,:64]] (pixels 2b-1, 2b+2) with
+  register rolls, and runs 2 fused K=384 int8 MXU matmuls (the 3 row taps
+  lane-concatenated against (384, 128)-reshaped weights);
+- replicate row pads are built IN-REGISTER at the first/last slab as lane
+  permutations of the edge rows (P_top/P_bot matmuls), and the two wrong
+  border column-pairs (roll wrap + packed-replicate column pad, landing
+  exactly at pairs b=0 left half / b=W/2-1 right half) are fixed by ONE
+  extra matmul corr = V @ P_fix selected by an iota%wb row mask — corners
+  are automatically right because the phase-collapsing permutations
+  commute. The kernel output is exact everywhere;
 - the epilogue fuses dequantisation (per-lane scale), bias, ReLU and
-  requantisation to the next layer's int8 scale, so inter-layer tensors at
-  256² live in HBM as int8 with no separate elementwise passes.
+  requantisation, so inter-layer tensors live in HBM as int8, and the in2
+  layer emits the mid-chain phase mean as a fused second output (a 128x32
+  int8 summing matmul on the requantized output — bit-identical to the XLA
+  mean(s0p)*s_s0 path, quantizable to the consumer's int8 scale).
 
 Reference anchors: the conv semantics are the BN-folded ModelB_2 convs
-(reference model.py:85-159,608-645) as quantized in
-models/quantized_packed.py; equivalence is asserted in
-tests/test_conv_i8_pallas.py against an int32-exact XLA reference.
+(reference model.py:85-159,608-645); exactness vs an int32-exact XLA
+reference (all borders and corners) is asserted in
+tests/test_conv_i8_pallas.py.
 """
 
 from __future__ import annotations
@@ -49,15 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pack_row_tap_weights",
-    "rows_from_padded",
-    "packed_from_rows",
-    "conv_i8_rows",
-    "conv_i8_rows_dual",
-    "conv_i8_layer",
-    "conv_i8_layer_dual",
+    "conv_i8_exact",
+    "conv_i8_exact_dual",
+    "conv_i8_prestacked",
 ]
-
-SLAB = 16  # output image-rows per grid step
 
 
 def pack_row_tap_weights(wq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -76,18 +72,6 @@ def pack_row_tap_weights(wq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     wc[:, 0:64, 0:64] = wq[:, 0]      # px 2b-1 -> out o=0
     wc[:, 64:128, 64:128] = wq[:, 2]  # px 2b+2 -> out o=1
     return wm, wc
-
-
-def rows_from_padded(xpad_rows: jnp.ndarray) -> jnp.ndarray:
-    """Row-padded packed tensor (N, H+2, W, 64) -> (N, (H+2)*W/2, 128)."""
-    n, h2, w, c = xpad_rows.shape
-    assert c == 64 and w % 2 == 0, (c, w)
-    return xpad_rows.reshape(n, h2 * (w // 2), 2 * c)
-
-
-def packed_from_rows(y: jnp.ndarray, hp: int, wp: int, kp: int = 64) -> jnp.ndarray:
-    """Pair rows (N, hp*wp/2, 2*kp) -> packed (N, hp, wp, kp)."""
-    return y.reshape(y.shape[0], hp, wp, kp)
 
 
 def _epilogue(yf, relu: bool, out_dtype):
@@ -117,115 +101,6 @@ def _row_shift_up(v):
     rows32 = v32.shape[0]
     carry = pltpu.roll(v32, rows32 - 1, axis=0) << 24
     return pltpu.bitcast((v32 >> 8) | carry, jnp.int8)
-
-
-def _slab_dots(x_ref, wm_ref, wc_ref, row0, m, wb):
-    """Load V once, build the neighbour composite with register rolls, run
-    the 6 matmuls. Returns int32 (m, 128)."""
-    m2 = m + 2 * wb
-    v = x_ref[0, pl.ds(row0, m2), :]
-    prev = _row_shift_down(v)
-    nxt = _row_shift_up(v)
-    comp = jnp.concatenate([prev[:, 64:128], nxt[:, 0:64]], axis=1)
-    y = None
-    for p in range(3):
-        lo = p * wb
-        ya = jax.lax.dot_general(
-            v[lo : lo + m], wm_ref[p],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
-        )
-        yb = jax.lax.dot_general(
-            comp[lo : lo + m], wc_ref[p],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
-        )
-        y = ya + yb if y is None else y + ya + yb
-    return y
-
-
-def _conv_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, out_ref, *,
-                 relu, out_dtype, wb):
-    s = pl.program_id(1)
-    y = _slab_dots(x_ref, wm_ref, wc_ref, s * SLAB * wb, SLAB * wb, wb)
-    yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
-    out_ref[0] = _epilogue(yf, relu, out_dtype)
-
-
-def _conv_kernel_dual(x_ref, z_ref, wmx_ref, wcx_ref, wmz_ref, wcz_ref,
-                      scx_ref, scz_ref, bias_ref, out_ref, *,
-                      relu, out_dtype, wb):
-    s = pl.program_id(1)
-    row0 = s * SLAB * wb
-    m = SLAB * wb
-    yx = _slab_dots(x_ref, wmx_ref, wcx_ref, row0, m, wb)
-    yz = _slab_dots(z_ref, wmz_ref, wcz_ref, row0, m, wb)
-    yf = (yx.astype(jnp.float32) * scx_ref[0]
-          + yz.astype(jnp.float32) * scz_ref[0] + bias_ref[0])
-    out_ref[0] = _epilogue(yf, relu, out_dtype)
-
-
-def _specs(n, hp, wp, n_weights):
-    wb = wp // 2
-    pad_rows = (hp + 2) * wb
-    img = pl.BlockSpec((1, pad_rows, 128), lambda i, s: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
-    w = pl.BlockSpec((3, 128, 128), lambda i, s: (0, 0, 0),
-                     memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((1, SLAB * wb, 128), lambda i, s: (i, s, 0),
-                       memory_space=pltpu.VMEM)
-    return img, w, vec, out
-
-
-@functools.partial(
-    jax.jit, static_argnames=("hp", "wp", "relu", "out_dtype", "interpret")
-)
-def conv_i8_rows(x_rows, wm, wc, scale, bias, hp: int, wp: int,
-                 relu: bool = True, out_dtype=jnp.int8, interpret: bool = False):
-    """Packed-domain 3x3 conv 64->64, pixel-pair rows, row-padded input.
-
-    x_rows: (N, (hp+2)*wp/2, 128) int8 from rows_from_padded;
-    wm/wc: (3, 128, 128) int8 from pack_row_tap_weights;
-    scale (128,) f32 = s_in*s_w[k] (*1/s_out for int8 out), bias folded alike.
-    Output pairs b=0 and b=wp/2-1 are WRONG (roll wrap / missing border
-    permutation) — callers must overwrite packed columns {0,1,wp-2,wp-1}
-    (see conv_i8_layer, which does the exact strip fix)."""
-    n = x_rows.shape[0]
-    wb = wp // 2
-    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
-    img, w, vec, out = _specs(n, hp, wp, 2)
-    kern = functools.partial(_conv_kernel, relu=relu, out_dtype=out_dtype, wb=wb)
-    return pl.pallas_call(
-        kern,
-        grid=(n, hp // SLAB),
-        in_specs=[img, w, w, vec, vec],
-        out_specs=out,
-        out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
-        interpret=interpret,
-    )(x_rows, wm, wc, scale.reshape(1, 128), bias.reshape(1, 128))
-
-
-@functools.partial(
-    jax.jit, static_argnames=("hp", "wp", "relu", "out_dtype", "interpret")
-)
-def conv_i8_rows_dual(x_rows, z_rows, wmx, wcx, wmz, wcz, scale_x, scale_z,
-                      bias, hp: int, wp: int, relu: bool = True,
-                      out_dtype=jnp.int8, interpret: bool = False):
-    """conv(concat(x, z)) = conv_x(x) + conv_z(z) — the skip-concat conv
-    without materialising the concat; per-half input/weight scales."""
-    n = x_rows.shape[0]
-    wb = wp // 2
-    assert hp % SLAB == 0 and wb % 8 == 0, (hp, wp)
-    img, w, vec, out = _specs(n, hp, wp, 4)
-    kern = functools.partial(_conv_kernel_dual, relu=relu, out_dtype=out_dtype, wb=wb)
-    return pl.pallas_call(
-        kern,
-        grid=(n, hp // SLAB),
-        in_specs=[img, img, w, w, w, w, vec, vec, vec],
-        out_specs=out,
-        out_shape=jax.ShapeDtypeStruct((n, hp * wb, 128), out_dtype),
-        interpret=interpret,
-    )(x_rows, z_rows, wmx, wcx, wmz, wcz,
-      scale_x.reshape(1, 128), scale_z.reshape(1, 128), bias.reshape(1, 128))
 
 
 # ------------------------------------------------- v3: exact, self-padding
@@ -514,92 +389,6 @@ def conv_i8_exact_dual(x_packed, z_packed, wmx, wcx, wmz, wcz, scale_x,
       scale_x.reshape(1, 128), scale_z.reshape(1, 128),
       bias.reshape(1, 128), pf, pt, pb)
     return y.reshape(n, hp, wp, 64)
-
-
-# ----------------------------------------------------- XLA wrapper with fix
-
-def _row_pad_packed(x: jnp.ndarray, c: int = 16) -> jnp.ndarray:
-    """Top/bottom packed-replicate padding only (1 row each side): the pad
-    row replicates the outermost original row into both phase slots
-    (models/packed._pad_perms top/bottom semantics)."""
-    from sifsr_tpu.models.packed import _pad_perms
-
-    perm_top, perm_bottom, _, _ = (jnp.asarray(p) for p in _pad_perms(c))
-    top = x[:, :1, :, perm_top]
-    bottom = x[:, -1:, :, perm_bottom]
-    return jnp.concatenate([top, x, bottom], axis=1)
-
-
-def _border_cols(xpad_rows: jnp.ndarray, c: int = 16):
-    """Left/right 4-pixel-wide column strips of the row-padded tensor, with
-    the exact packed-replicate column pad applied (left: [perm(px0), px0..2],
-    right: [pxW-3..W-1, perm(pxW-1)])."""
-    from sifsr_tpu.models.packed import _pad_perms
-
-    _, _, perm_left, perm_right = (jnp.asarray(p) for p in _pad_perms(c))
-    left = jnp.concatenate(
-        [xpad_rows[:, :, :1, perm_left], xpad_rows[:, :, :3, :]], axis=2)
-    right = jnp.concatenate(
-        [xpad_rows[:, :, -3:, :], xpad_rows[:, :, -1:, perm_right]], axis=2)
-    return left, right
-
-
-def _strip_conv_i8(strip, wq, preferred=jnp.int32):
-    return lax.conv_general_dilated(
-        strip, wq, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred,
-    )
-
-
-def conv_i8_layer(x_packed, leaf, hp: int, wp: int, relu: bool = True,
-                  out_dtype=jnp.int8, interpret: bool = False):
-    """Full layer: row-pad -> pallas conv -> exact border-strip fix.
-
-    x_packed: (N, hp, wp, 64) int8; leaf: dict with 'wm','wc' (3,128,128) i8,
-    'wq' (3,3,64,64) i8 (for the strips), 'scale' (128,), 'bias' (128,)
-    [both folded], and 'scale64'/'bias64' (the same per-channel values,
-    untiled, for the strip epilogue). Returns (N, hp, wp, 64) out_dtype."""
-    xpad = _row_pad_packed(x_packed)
-    rows = rows_from_padded(xpad)
-    y = conv_i8_rows(rows, leaf["wm"], leaf["wc"], leaf["scale"], leaf["bias"],
-                     hp, wp, relu=relu, out_dtype=out_dtype, interpret=interpret)
-    y = packed_from_rows(y, hp, wp)
-
-    left, right = _border_cols(xpad)
-    yl = _strip_conv_i8(left, leaf["wq"]).astype(jnp.float32) * leaf["scale64"] + leaf["bias64"]
-    yr = _strip_conv_i8(right, leaf["wq"]).astype(jnp.float32) * leaf["scale64"] + leaf["bias64"]
-    yl = _epilogue(yl, relu, out_dtype)
-    yr = _epilogue(yr, relu, out_dtype)
-    return jnp.concatenate([yl, y[:, :, 2:-2, :], yr], axis=2)
-
-
-def conv_i8_layer_dual(x_packed, z_packed, leaf, hp: int, wp: int,
-                       relu: bool = True, out_dtype=jnp.int8,
-                       interpret: bool = False):
-    """Dual-input layer (skip-concat conv): leaf carries per-half weights
-    'wm_x','wc_x','wm_z','wc_z','wq_x','wq_z', scales 'scale_x','scale_z'
-    (+ 'scale64_x','scale64_z'), shared folded 'bias'/'bias64'."""
-    xpad = _row_pad_packed(x_packed)
-    zpad = _row_pad_packed(z_packed)
-    y = conv_i8_rows_dual(
-        rows_from_padded(xpad), rows_from_padded(zpad),
-        leaf["wm_x"], leaf["wc_x"], leaf["wm_z"], leaf["wc_z"],
-        leaf["scale_x"], leaf["scale_z"], leaf["bias"],
-        hp, wp, relu=relu, out_dtype=out_dtype, interpret=interpret)
-    y = packed_from_rows(y, hp, wp)
-
-    xl, xr = _border_cols(xpad)
-    zl, zr = _border_cols(zpad)
-    yl = (_strip_conv_i8(xl, leaf["wq_x"]).astype(jnp.float32) * leaf["scale64_x"]
-          + _strip_conv_i8(zl, leaf["wq_z"]).astype(jnp.float32) * leaf["scale64_z"]
-          + leaf["bias64"])
-    yr = (_strip_conv_i8(xr, leaf["wq_x"]).astype(jnp.float32) * leaf["scale64_x"]
-          + _strip_conv_i8(zr, leaf["wq_z"]).astype(jnp.float32) * leaf["scale64_z"]
-          + leaf["bias64"])
-    yl = _epilogue(yl, relu, out_dtype)
-    yr = _epilogue(yr, relu, out_dtype)
-    return jnp.concatenate([yl, y[:, :, 2:-2, :], yr], axis=2)
 
 
 # ------------------------------------------ pre-stacked conv (skinny layers)

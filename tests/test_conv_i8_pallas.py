@@ -12,7 +12,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from sifsr_tpu.models.packed import _replicate_pad_packed
-from sifsr_tpu.pallas.conv_i8 import conv_i8_layer, conv_i8_layer_dual, pack_row_tap_weights
+from sifsr_tpu.pallas.conv_i8 import (
+    conv_i8_exact,
+    conv_i8_exact_dual,
+    pack_row_tap_weights,
+)
 
 
 def _ref_conv(xpad_i8, wq, scale64, bias64, relu=True):
@@ -23,117 +27,6 @@ def _ref_conv(xpad_i8, wq, scale64, bias64, relu=True):
     )
     y = np.asarray(y).astype(np.float32) * scale64 + bias64
     return np.maximum(y, 0) if relu else y
-
-
-def _leaf(wq, s_in, s_w, bias):
-    wm, wc = pack_row_tap_weights(wq)
-    comb = (s_in * s_w).astype(np.float32)
-    return {
-        "wm": jnp.asarray(wm), "wc": jnp.asarray(wc), "wq": jnp.asarray(wq),
-        "scale": jnp.asarray(np.tile(comb, 2)),
-        "bias": jnp.asarray(np.tile(bias, 2).astype(np.float32)),
-        "scale64": jnp.asarray(comb),
-        "bias64": jnp.asarray(bias.astype(np.float32)),
-    }
-
-
-@pytest.mark.parametrize("hp,wp", [(32, 32), (16, 48)])
-def test_conv_i8_layer_exact(rng, hp, wp):
-    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
-    wq = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
-    s_in = 0.03
-    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
-    bias = rng.normal(size=64).astype(np.float32)
-
-    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
-    y_ref = _ref_conv(xpad, wq, s_in * s_w, bias)
-
-    y = conv_i8_layer(jnp.asarray(x), _leaf(wq, s_in, s_w, bias), hp, wp,
-                      relu=True, out_dtype=jnp.float32, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
-
-
-def test_conv_i8_layer_int8_output_requant(rng):
-    """int8 output = round/clamp of the f32 epilogue (requant fused)."""
-    hp = wp = 32
-    x = rng.integers(-127, 128, (1, hp, wp, 64)).astype(np.int8)
-    wq = rng.integers(-10, 11, (3, 3, 64, 64)).astype(np.int8)
-    s_in, s_out = 0.02, 0.15
-    s_w = (0.001 + 0.005 * rng.random(64)).astype(np.float32)
-    bias = rng.normal(size=64).astype(np.float32)
-
-    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
-    y_f32 = _ref_conv(xpad, wq, s_in * s_w, bias)
-    y_ref = np.clip(np.round(y_f32 / s_out), -127, 127).astype(np.int8)
-
-    leaf = _leaf(wq, s_in, s_w / s_out, bias / s_out)
-    y = conv_i8_layer(jnp.asarray(x), leaf, hp, wp, relu=True,
-                      out_dtype=jnp.int8, interpret=True)
-    # f32 rounding at the requant boundary may flip ties by 1 LSB
-    diff = np.abs(np.asarray(y).astype(np.int32) - y_ref.astype(np.int32))
-    assert diff.max() <= 1
-    assert (diff > 0).mean() < 0.01
-
-
-def test_conv_i8_layer_dual_exact(rng):
-    """conv(concat(x, z)) == conv_x(x) + conv_z(z) with per-half scales."""
-    hp = wp = 32
-    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
-    z = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
-    wqx = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
-    wqz = rng.integers(-20, 21, (3, 3, 64, 64)).astype(np.int8)
-    s_x, s_z = 0.03, 0.07
-    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
-    bias = rng.normal(size=64).astype(np.float32)
-
-    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
-    zpad = np.asarray(_replicate_pad_packed(jnp.asarray(z), 16))
-    y_ref = (_ref_conv(xpad, wqx, s_x * s_w, 0 * bias, relu=False)
-             + _ref_conv(zpad, wqz, s_z * s_w, bias, relu=False))
-    y_ref = np.maximum(y_ref, 0)
-
-    wm_x, wc_x = pack_row_tap_weights(wqx)
-    wm_z, wc_z = pack_row_tap_weights(wqz)
-    sx = (s_x * s_w).astype(np.float32)
-    sz = (s_z * s_w).astype(np.float32)
-    leaf = {
-        "wm_x": jnp.asarray(wm_x), "wc_x": jnp.asarray(wc_x), "wq_x": jnp.asarray(wqx),
-        "wm_z": jnp.asarray(wm_z), "wc_z": jnp.asarray(wc_z), "wq_z": jnp.asarray(wqz),
-        "scale_x": jnp.asarray(np.tile(sx, 2)), "scale_z": jnp.asarray(np.tile(sz, 2)),
-        "scale64_x": jnp.asarray(sx), "scale64_z": jnp.asarray(sz),
-        "bias": jnp.asarray(np.tile(bias, 2)), "bias64": jnp.asarray(bias),
-    }
-    y = conv_i8_layer_dual(jnp.asarray(x), jnp.asarray(z), leaf, hp, wp,
-                           relu=True, out_dtype=jnp.float32, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
-
-
-def test_row_shift_packing(rng):
-    """The byte-shift row-shift trick must equal a plain row roll — pins the
-    int8-in-uint32 sublane packing order (row 4s+k in byte k, LSB first)."""
-    from jax.experimental import pallas as pl
-
-    from sifsr_tpu.pallas.conv_i8 import _row_shift_down, _row_shift_up
-
-    def k(x_ref, down_ref, up_ref):
-        v = x_ref[:]
-        down_ref[:] = _row_shift_down(v)
-        up_ref[:] = _row_shift_up(v)
-
-    x = rng.integers(-127, 128, (16, 128)).astype(np.int8)
-    down, up = pl.pallas_call(
-        k,
-        out_shape=(jax.ShapeDtypeStruct((16, 128), jnp.int8),
-                   jax.ShapeDtypeStruct((16, 128), jnp.int8)),
-        interpret=True,
-    )(jnp.asarray(x))
-    np.testing.assert_array_equal(np.asarray(down), np.roll(x, 1, axis=0))
-    np.testing.assert_array_equal(np.asarray(up), np.roll(x, -1, axis=0))
-
-
-# ------------------------------- v3: exact self-padding kernels (no wrapper)
-
-from sifsr_tpu.pallas.conv_i8 import conv_i8_exact, conv_i8_exact_dual
 
 
 @pytest.mark.parametrize("hp,wp", [(32, 32), (16, 48)])
