@@ -333,13 +333,15 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
         up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
             0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
+        # ub3 conv1 (dual, concat-free) then conv2 — kept as separate
+        # kernels: a fused chained variant measured a wash (stage-1 halo
+        # overcompute + the scratch dependency eat the HBM-round-trip
+        # saving; round-2 profile)
         d = params["u31"]
         u31 = conv_i8_exact_dual(up_q, s0p,
                                  d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
                                  d["scale_x"], d["scale_z"], d["bias"],
                                  hp, hp, interpret=interpret)
-
-        # ub3.conv2 (exact pallas)
         u2 = params["u32"]
         olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
                             hp, hp, interpret=interpret)

@@ -434,3 +434,4 @@ def conv_i8_prestacked(x_rows, w, scale, bias, relu: bool = True,
         out_shape=jax.ShapeDtypeStruct((n, total, 128), out_dtype),
         interpret=interpret,
     )(x_rows, w, scale.reshape(1, 128), bias.reshape(1, 128))
+
