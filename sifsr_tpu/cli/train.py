@@ -63,6 +63,11 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true", help="resume from orbax checkpoints")
     parser.add_argument("--statistics", type=str, default="data/statistics.json")
     parser.add_argument("--csv", type=str, default="data/ModisDatasetB.csv")
+    parser.add_argument("--streaming", action="store_true",
+                        help="decode batches on demand through the native "
+                             "thread pool with prefetch (for corpora larger "
+                             "than host RAM) instead of materialising the "
+                             "dataset up front")
     args = parser.parse_args(argv)
 
     config = load_params_json(args.params, recipe=args.recipe)
@@ -75,10 +80,15 @@ def main(argv=None):
         sys.exit(0)
 
     print("Loading the ModisDataset...")
-    train_ds = ModisDataset(args.csv, stats, split="Train",
-                            time=config.dataset.time, transf=config.dataset.transf)
-    val_ds = ModisDataset(args.csv, stats, split="Val",
-                          time=config.dataset.time, transf=config.dataset.transf)
+    ds_cls = ModisDataset
+    if args.streaming:
+        from sifsr_tpu.data.datasets import StreamingModisDataset
+
+        ds_cls = StreamingModisDataset
+    train_ds = ds_cls(args.csv, stats, split="Train",
+                      time=config.dataset.time, transf=config.dataset.transf)
+    val_ds = ds_cls(args.csv, stats, split="Val",
+                    time=config.dataset.time, transf=config.dataset.transf)
     print(f"train={len(train_ds)} val={len(val_ds)}")
 
     ckpt_dir = os.path.join(save_path, "orbax") if args.resume else None

@@ -203,3 +203,94 @@ def make_synthetic_dataset(
 
     lst, ndvi = normalize(np.stack(lst_list), np.stack(ndvi_list), stats, "norm")
     return ArrayDataset(lst, ndvi, stats)
+
+
+class StreamingModisDataset:
+    """Out-of-core manifest dataset: per-batch decode through the native
+    thread pool with background prefetch.
+
+    ModisDataset materialises every patch at construction — right for the
+    reference-sized corpora (a few GB), wrong for production-scale training
+    where the manifest exceeds host RAM. This variant keeps only the path
+    lists and decodes each shuffled batch on demand in the native loader's
+    pthread pool (native/sifsr_native.cpp), one batch ahead of the consumer
+    on a background thread, so decode overlaps device compute.
+
+    Same iteration contract as ArrayDataset.batches (shuffled per seed,
+    drop_remainder, {'lst','ndvi'} NHWC dicts) — drop-in for train.loop.
+    """
+
+    def __init__(self, csv_path: str, stats, split: str = "Train",
+                 time: str = "Both", transf: str = "norm",
+                 n_threads: int = 8, prefetch: int = 2):
+        import csv as csv_mod
+
+        self.lst_paths: list[str] = []
+        self.ndvi_paths: list[str] = []
+        with open(csv_path, newline="") as f:
+            for row in csv_mod.DictReader(f):
+                if row.get("split") != split:
+                    continue
+                if time != "Both" and time not in row["LST"]:
+                    continue
+                self.lst_paths.append(row["LST"])
+                self.ndvi_paths.append(row["NDVI"])
+        self.stats = stats
+        self.transf = transf
+        self.n_threads = n_threads
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self) -> int:
+        return len(self.lst_paths)
+
+    def n_batches(self, batch_size: int, drop_remainder: bool = True) -> int:
+        if drop_remainder:
+            return len(self) // batch_size
+        return -(-len(self) // batch_size)
+
+    def _decode(self, idx: np.ndarray) -> dict:
+        from sifsr_tpu.data.native_loader import load_batch, native_available
+
+        lp = [self.lst_paths[i] for i in idx]
+        np_ = [self.ndvi_paths[i] for i in idx]
+        if native_available():
+            lst = load_batch(lp, 64, 64, n_threads=self.n_threads)
+            ndvi = load_batch(np_, 256, 256, n_threads=self.n_threads)
+        else:
+            lst = np.stack([read_geotiff(p).array for p in lp])
+            ndvi = np.stack([read_geotiff(p).array for p in np_])
+        lst, ndvi = normalize(lst.astype(np.float32), ndvi.astype(np.float32),
+                              self.stats, self.transf)
+        return {"lst": lst[..., None], "ndvi": ndvi[..., None]}
+
+    def batches(self, batch_size: int, seed: int | None = None,
+                drop_remainder: bool = True):
+        import queue
+        import threading
+
+        order = np.arange(len(self))
+        if seed is not None:
+            np.random.default_rng(seed).shuffle(order)
+        stop = len(self) - batch_size + 1 if drop_remainder else len(self)
+        starts = list(range(0, max(stop, 0), batch_size))
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for s0 in starts:
+                    q.put(self._decode(order[s0 : s0 + batch_size]))
+            except Exception as exc:  # surface decode errors to the consumer
+                q.put(exc)
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item

@@ -73,3 +73,59 @@ def test_parallel_batch_is_faster_than_python():
     load_batch(paths, h, w, n_threads=8)
     t_native = time.perf_counter() - t0
     assert t_native < t_py  # parallel native decode beats sequential python
+
+
+def test_streaming_dataset_matches_materialised(tmp_path, rng):
+    """StreamingModisDataset must yield the same shuffled batches as
+    ModisDataset for the same seed (prefetch is an implementation detail)."""
+    import csv
+
+    from sifsr_tpu.data.datasets import ModisDataset, StreamingModisDataset
+    from sifsr_tpu.data.statistics import Statistics
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    rows = []
+    for i in range(7):
+        lst_p = str(tmp_path / f"lst_{i}.tif")
+        ndvi_p = str(tmp_path / f"ndvi_{i}.tif")
+        write_geotiff(lst_p, (295 + 10 * rng.random((64, 64))).astype(np.float32))
+        write_geotiff(ndvi_p, (0.6 * rng.random((256, 256))).astype(np.float32))
+        rows.append({"LST": lst_p, "NDVI": ndvi_p, "split": "Train"})
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["LST", "NDVI", "split"])
+        w.writeheader()
+        w.writerows(rows)
+
+    mat = ModisDataset(manifest, stats)
+    stream = StreamingModisDataset(manifest, stats, prefetch=2)
+    assert len(stream) == len(mat) == 7
+    assert stream.n_batches(2) == mat.n_batches(2) == 3
+
+    got = list(stream.batches(2, seed=13))
+    want = list(mat.batches(2, seed=13))
+    assert len(got) == len(want) == 3
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(g["lst"], w_["lst"], rtol=1e-6)
+        np.testing.assert_allclose(g["ndvi"], w_["ndvi"], rtol=1e-6)
+
+
+def test_streaming_dataset_surfaces_decode_errors(tmp_path):
+    import csv
+
+    from sifsr_tpu.data.datasets import StreamingModisDataset
+    from sifsr_tpu.data.statistics import Statistics
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["LST", "NDVI", "split"])
+        w.writeheader()
+        w.writerow({"LST": str(tmp_path / "missing.tif"),
+                    "NDVI": str(tmp_path / "missing2.tif"), "split": "Train"})
+
+    stream = StreamingModisDataset(manifest, stats)
+    with pytest.raises(Exception):
+        list(stream.batches(1, seed=0))
