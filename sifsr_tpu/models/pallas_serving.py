@@ -1,21 +1,28 @@
-"""The fastest serving path: int8 + space-to-depth + Pallas pair-conv.
+"""The fastest serving path: int8 + space-to-depth + exact Pallas pair-convs.
 
-Composition of the three serving optimisations, aimed at the BASELINE.md
-north-star (>=10k 64->256 patches/s/chip):
+Composition of the serving optimisations, aimed at the BASELINE.md
+north-star (>=10k 64->256 patches/s/chip; measured ~7.0k at batch 256 on
+v5e, wall = device-bound with the scan-chained bench):
 
-- the three heavy 256²-resolution convs (inbloc.conv2, ub3.conv1, ub3.conv2 —
-  together ~40% of the model's FLOPs at the *worst* MXU utilisation) run in
-  the fused int8 Pallas pair-conv kernel (pallas/conv_i8.py, measured 3.2x
-  the XLA int8 layer on v5e);
+- every 256²-resolution conv runs in Pallas with zero XLA glue:
+  inbloc.conv1 as the prestacked-neighbourhood matmul (XLA lane-stacks the
+  3x3 taps of the 8-channel packed input), inbloc.conv2 / ub3.conv1 /
+  ub3.conv2 as the exact self-padding pair-conv kernels
+  (pallas/conv_i8.py) — consecutive kernels exchange rows-form int8
+  tensors, which is copy-free (both pin the {2,1,0} layout);
 - ub3.conv1's skip concat is never materialised: conv(concat(up, skip)) =
   conv_a(up) + conv_b(skip) with per-half input scales and per-half
-  per-channel weight scales (slightly *better* quantization fidelity than
-  the concat form);
-- inter-layer tensors at 256² live in HBM as int8; dequant/bias/ReLU/requant
-  are fused into the kernel epilogue;
-- inbloc.conv1 (2->16, tiny) and outlay (16->1, tiny) run as XLA int8 convs
-  in the packed domain; the mid-resolution encoder/decoder reuses the
-  proven int8 XLA path from models/quantized_packed.py.
+  per-channel weight scales;
+- the LST cubic x4 and the ub3-input linear x2 run as phase-separated
+  Pallas upsample kernels with quantisation fused into their epilogues
+  (pallas/resize_phases.py); the decoder's small ub1/ub2 upsamples stay on
+  the XLA einsum (measured cheaper than paying two more boundary copies);
+- inbloc.conv2 emits the mid-chain phase mean as a fused second output,
+  already int8-quantized at db1's first-conv input scale;
+- the mid-resolution encoder/decoder reuses the proven XLA int8 path from
+  models/quantized_packed.py (a bf16 mid measured slower);
+- outlay is a zero-padded XLA int8 conv (the pad folds into the conv op)
+  with exact replicate-pad border strips pasted into the final SR.
 
 Everything is calibrated statically from sample patches (per-tensor input
 scales with headroom, per-output-channel weight scales), mirroring
@@ -23,8 +30,8 @@ models/quantized.calibrate_activation_scales.
 
 Numerical contract: equivalent to the BN-folded ModelB_2 forward (reference
 model.py:608-645) within int8 quantization error; measured end-to-end on the
-real released weights in tests/test_pallas_serving.py and on the ASTER
-harness (EVAL_RESULTS.md).
+real released weights in tests/test_pallas_serving.py and on the full
+80-pair ASTER harness (EVAL_RESULTS.md, results/modelB_1009_pallas/).
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from sifsr_tpu.models.fused import fold_batchnorm, upsample_bilinear_x2_nhwc
+from sifsr_tpu.models.fused import upsample_bilinear_x2_nhwc
 from sifsr_tpu.models.packed import (
     _packed_concat,
     _packed_resize,
@@ -42,7 +49,6 @@ from sifsr_tpu.models.packed import (
     _depth_to_space,
     _replicate_pad_packed,
     _space_to_depth,
-    pack_conv_weights,
     pack_serving_params,
 )
 from sifsr_tpu.models.quantized import _quantize_kernel
