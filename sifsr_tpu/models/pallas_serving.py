@@ -254,7 +254,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
     """Pallas-serving twin of inference.make_sr_step:
     (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
     interpret defaults to True off-TPU (pallas interpreter for CPU tests)."""
-    from sifsr_tpu.models.quantized_packed import _double_mid, _down, _down_body
+    from sifsr_tpu.models.quantized_packed import _conv_i8_mid, _double_mid, _down
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -314,8 +314,6 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * (s_x * leaf["scale"]) + leaf["bias"]
             return jnp.maximum(y, 0.0) if relu else y
-
-        from sifsr_tpu.models.quantized_packed import _conv_i8_mid
 
         r = mid_conv_prequant(pm, s_db1, db1["res"]["conv1"]["conv"])
         r = _conv_i8_mid(r, db1["res"]["conv2"]["conv"])
