@@ -250,10 +250,15 @@ def _quant(x, scale):
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
 
-def make_pallas_sr_step(stats, interpret: bool | None = None):
+def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
     """Pallas-serving twin of inference.make_sr_step:
     (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
-    interpret defaults to True off-TPU (pallas interpreter for CPU tests)."""
+    interpret defaults to True off-TPU (pallas interpreter for CPU tests).
+
+    mesh: a jax.sharding.Mesh with a 'data' axis runs the step data-parallel
+    via shard_map (GSPMD would otherwise replicate through the pallas custom
+    calls); each device runs its batch shard's kernel grids independently —
+    no collectives on the serving path."""
     from sifsr_tpu.models.quantized_packed import _conv_i8_mid, _double_mid, _down
 
     if interpret is None:
@@ -380,4 +385,14 @@ def make_pallas_sr_step(stats, interpret: bool | None = None):
         sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
         return sr * stats.std_lst + stats.mean_lst
 
-    return sr_step
+    if mesh is None:
+        return sr_step
+
+    from jax.sharding import PartitionSpec as P
+
+    sharded = jax.shard_map(
+        sr_step, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")), out_specs=P("data"),
+        check_rep=False,
+    )
+    return jax.jit(sharded)

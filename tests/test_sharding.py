@@ -157,3 +157,42 @@ def test_train_step_with_mesh_runs_sharded(rng, tiny_model):
     batch = shard_batch(_batch(rng, 16), mesh)
     state, metrics = pstep(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pallas_serving_step_data_parallel(rng):
+    """The flagship pallas serving step runs data-parallel over the mesh:
+    its kernels are batch-parallel (grid dim 0 = batch), so sharding the
+    batch axis splits kernel grids per device with no cross-device traffic.
+    Verified against the unsharded step on the 8-device CPU mesh."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.models.pallas_serving import (
+        build_pallas_serving_params,
+        make_pallas_sr_step,
+    )
+    from sifsr_tpu.models.unet import ModelB2
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
+                       mean_ndvi=0.35, std_ndvi=0.2)
+    model = ModelB2()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 2)),
+                           train=False)
+    cal_lst = (302.0 + 5.0 * rng.random((2, 32, 32))).astype(np.float32)
+    cal_ndvi = (0.5 * rng.random((2, 128, 128))).astype(np.float32)
+    params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
+    step = make_pallas_sr_step(stats, interpret=True)
+
+    lst = jnp.asarray(300.0 + 6.0 * rng.random((8, 32, 32)), jnp.float32)
+    ndvi = jnp.asarray(0.6 * rng.random((8, 128, 128)), jnp.float32)
+    want = np.asarray(step(params, lst, ndvi))
+
+    mesh = make_mesh(8)
+    data = NamedSharding(mesh, P("data"))
+    pstep = make_pallas_sr_step(stats, interpret=True, mesh=mesh)
+    lst_s = jax.device_put(lst, data)
+    ndvi_s = jax.device_put(ndvi, data)
+    got = pstep(params, lst_s, ndvi_s)
+    assert got.sharding.is_equivalent_to(data, got.ndim)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
