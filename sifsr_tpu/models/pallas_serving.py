@@ -393,6 +393,6 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
     sharded = jax.shard_map(
         sr_step, mesh=mesh,
         in_specs=(P(), P("data"), P("data")), out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
