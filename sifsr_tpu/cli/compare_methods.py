@@ -352,14 +352,23 @@ def cmd_seasons(argv):
     parser = ArgumentParser(prog="compare_methods seasons")
     parser.add_argument("--dataset-csv", default="data/ModisDatasetB.csv")
     parser.add_argument("--split", default="Train")
+    parser.add_argument("--time", default="day",
+                        help="time-of-day filename filter (reference "
+                             "compare_methods.py:42 keeps day granules only); "
+                             "'Both' disables")
     parser.add_argument("--out", default="figures_test_dataset/seasons.png")
     args = parser.parse_args(argv)
 
     import pandas as pd
 
     df = pd.read_csv(args.dataset_csv)
-    if "Split" in df:
-        df = df[df["Split"] == args.split]
+    # manifest column is lowercase 'split' (data_preparation writes it, the
+    # reference dataset.py:74 reads it); accept legacy 'Split' too
+    split_col = "split" if "split" in df else ("Split" if "Split" in df else None)
+    if split_col is not None:
+        df = df[df[split_col] == args.split]
+    if args.time != "Both":
+        df = df[df["LST"].astype(str).str.contains(args.time)]
     # day-of-year from the MODIS A-date token in the LST path
     # (reference: i.split('.')[-6][5:], e.g. .../MOD21A1D.A2020123....tif)
     def doy(path: str) -> int:
@@ -394,18 +403,21 @@ def cmd_regression(argv):
 
     from scipy import stats as sps
 
-    from sifsr_tpu.data.datasets import ModisDataset
+    from sifsr_tpu.data.datasets import ModisDataset, denormalize
+    from sifsr_tpu.data.statistics import Statistics
 
-    ds = ModisDataset(args.dataset_csv, statistics=args.statistics,
+    stats = Statistics.from_json(args.statistics)
+    ds = ModisDataset(args.dataset_csv, stats,
                       split=args.split, time="day", transf="norm")
     n = len(ds) if args.limit is None else min(args.limit, len(ds))
     slopes, intercepts, errors = [], [], []
     plt = _mpl()
     fig = plt.figure(figsize=(12, 12))
     for i in range(n):
-        lst, _lst_up, ndvi = ds[i]
-        lst = np.asarray(lst)[..., 0] if lst.ndim == 3 else np.asarray(lst)
-        ndvi = np.asarray(ndvi)[..., 0] if np.asarray(ndvi).ndim == 3 else np.asarray(ndvi)
+        # regress in physical units as the reference does (Kelvin LST
+        # nearest-up x4 vs raw NDVI, compare_methods.py:85-96)
+        lst = denormalize(ds.lst[i], stats)
+        ndvi = ds.ndvi[i] * stats.std_ndvi + stats.mean_ndvi
         lst_nn = np.repeat(np.repeat(lst, 4, 0), 4, 1)
         reg = sps.linregress(ndvi.ravel(), lst_nn.ravel())
         slopes.append(reg.slope)

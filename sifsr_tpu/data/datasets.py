@@ -276,21 +276,48 @@ class StreamingModisDataset:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop_event = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop_event.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for s0 in starts:
-                    q.put(self._decode(order[s0 : s0 + batch_size]))
+                    if stop_event.is_set():
+                        return
+                    if not put(self._decode(order[s0 : s0 + batch_size])):
+                        return
             except Exception as exc:  # surface decode errors to the consumer
-                q.put(exc)
-            q.put(sentinel)
+                put(exc)
+            put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # consumer abandoned the epoch (break / exception / close):
+            # unblock and retire the producer instead of leaking it pinned
+            # on a full queue (one leaked daemon thread + decoded batches
+            # per abandoned epoch otherwise)
+            stop_event.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

@@ -36,8 +36,8 @@ __all__ = ["InferenceModelB2", "fold_batchnorm", "upsample_bilinear_x2_nhwc"]
 def upsample_bilinear_x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     """align_corners bilinear x2 on NHWC without layout transposes.
 
-    Stays in the einsum form deliberately: round-2 profiling showed the
-    roll/fma stencil variant (ops/resize.resize_axis_gather) fragments into
+    Stays in the einsum form deliberately: round-2 profiling showed a
+    roll/fma stencil variant (since deleted from ops/resize) fragments into
     unfused materialised passes under XLA TPU and loses to the dot emitter
     at these sizes; the Pallas phase-separated upsample replaces this on the
     serving fast path instead."""

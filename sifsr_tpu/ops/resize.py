@@ -168,76 +168,3 @@ def _upsample_stencil(in_size: int, factor: int, kind: str):
             coeffs[key][k] = a[o, h]
     return {k: v for k, v in sorted(coeffs.items())}
 
-
-@functools.lru_cache(maxsize=None)
-def _downsample_stencil(in_size: int, factor: int, kind: str):
-    """out[o] = sum_delta C[delta][o] * x[f*o + delta] (delta may exceed f-1
-    at the borders because of tap clamping; all indices stay in range)."""
-    a = resize_matrix(in_size, in_size // factor, kind)
-    coeffs: dict = {}
-    for o in range(in_size // factor):
-        for h in np.nonzero(a[o])[0]:
-            key = int(h) - factor * o
-            if key not in coeffs:
-                coeffs[key] = np.zeros(in_size // factor, np.float64)
-            coeffs[key][o] = a[o, h]
-    return {k: v for k, v in sorted(coeffs.items())}
-
-
-def _bshape(ndim: int, axis: int, size: int) -> list[int]:
-    s = [1] * ndim
-    s[axis] = size
-    return s
-
-
-def resize_axis_gather(x: jnp.ndarray, axis: int, out_size: int,
-                       kind: str = "cubic") -> jnp.ndarray:
-    """One-axis integer-factor resize as roll/slice + fma stencil passes;
-    numerically identical to the HIGHEST-precision matmul against
-    resize_matrix (same products summed in the same ascending-tap order)."""
-    in_size = x.shape[axis]
-    wdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    if out_size % in_size == 0:
-        factor = out_size // in_size
-        phases = []
-        for d in range(factor):
-            acc = None
-            for (dd, delta), c in _upsample_stencil(in_size, factor, kind).items():
-                if dd != d:
-                    continue
-                # coeff is zero wherever k+delta is out of range -> roll-wrap
-                # contamination is multiplied by exactly 0.0
-                xt = jnp.roll(x, -delta, axis=axis).astype(jnp.float32)
-                w = jnp.asarray(c, wdtype).astype(jnp.float32)
-                term = xt * w.reshape(_bshape(x.ndim, axis, in_size))
-                acc = term if acc is None else acc + term
-            phases.append(acc)
-        y = jnp.stack(phases, axis=axis + 1)       # (..., k, factor, ...)
-        return y.reshape(
-            x.shape[:axis] + (out_size,) + x.shape[axis + 1 :]
-        ).astype(x.dtype)
-    if in_size % out_size == 0:
-        factor = in_size // out_size
-        acc = None
-        for delta, c in _downsample_stencil(in_size, factor, kind).items():
-            # xt[o] must equal x[f*o + delta] wherever the coeff is nonzero;
-            # out-of-range border rows carry zero coeff, so pad with zeros
-            o0 = (-delta + factor - 1) // factor if delta < 0 else 0
-            start = factor * o0 + delta
-            xt = lax.slice_in_dim(x, start, in_size, stride=factor, axis=axis)
-            if o0 or xt.shape[axis] < out_size - o0:
-                pad = [(0, 0)] * x.ndim
-                pad[axis] = (o0, out_size - o0 - xt.shape[axis])
-                xt = jnp.pad(xt, pad)
-            w = jnp.asarray(c, wdtype).astype(jnp.float32)
-            term = xt.astype(jnp.float32) * w.reshape(_bshape(x.ndim, axis, out_size))
-            acc = term if acc is None else acc + term
-        return acc.astype(x.dtype)
-    # non-integer ratio: fall back to the dense matrix
-    mat = jnp.asarray(resize_matrix(in_size, out_size, kind), dtype=x.dtype)
-    perm = list(range(x.ndim))
-    perm[axis], perm[-1] = perm[-1], perm[axis]
-    xt = jnp.transpose(x, perm)
-    yt = jnp.einsum("oh,...h->...o", mat, xt,
-                    precision=jax.lax.Precision.HIGHEST)
-    return jnp.transpose(yt, perm)

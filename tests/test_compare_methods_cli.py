@@ -99,12 +99,17 @@ def test_scatters_subcommand(tmp_path, rng):
 
 def test_seasons_subcommand(tmp_path, capsys):
     rows = []
-    for day, split in [(30, "Train"), (100, "Train"), (200, "Train"),
-                       (300, "Train"), (340, "Train"), (100, "Val")]:
+    # lowercase 'split' column + day-token directory: the real manifest
+    # schema (data_preparation writes 'split'; reference dataset.py:74,192
+    # reads 'split' and filters LST paths containing the time token)
+    for day, split, tod in [(30, "Train", "day"), (100, "Train", "day"),
+                            (200, "Train", "day"), (300, "Train", "day"),
+                            (340, "Train", "day"), (100, "Val", "day"),
+                            (210, "Train", "night")]:
         rows.append({
-            "LST": f"data/lst/MOD21A1D.A2020{day:03d}.h18v04.061.12.tif",
+            "LST": f"data/lst_{tod}/MOD21A1D.A2020{day:03d}.h18v04.061.12.tif",
             "NDVI": f"data/ndvi/MOD09GQ.A2020{day:03d}.h18v04.061.12.tif",
-            "Split": split,
+            "split": split,
         })
     csv = tmp_path / "ModisDatasetB.csv"
     pd.DataFrame(rows).to_csv(csv, index=False)
@@ -112,8 +117,43 @@ def test_seasons_subcommand(tmp_path, capsys):
     cm_main(["seasons", "--dataset-csv", str(csv), "--out", str(out)])
     assert out.exists()
     printed = capsys.readouterr().out
-    # winter wraps (day 30 and 340), one spring, one summer, one fall
+    # winter wraps (day 30 and 340); Val row and the night summer granule
+    # (day 210) are filtered out
     assert "'Winter': 2" in printed and "'Spring': 1" in printed
+    assert "'Summer': 1" in printed
+
+
+def test_regression_subcommand(tmp_path, capsys, rng):
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.geo.tiff import write_geotiff
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=295.0, std_lst=10.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    stats_json = tmp_path / "statistics.json"
+    stats.to_json(str(stats_json))
+    rows = []
+    (tmp_path / "pairs").mkdir()
+    for i in range(2):
+        ndvi = (0.3 + 0.2 * rng.random((256, 256))).astype(np.float32)
+        # anticorrelated LST so the fitted slope is decisively negative
+        lst = (300.0 - 20.0 * ndvi[::4, ::4]
+               + 0.05 * rng.normal(size=(64, 64))).astype(np.float32)
+        lst_p = tmp_path / "pairs" / f"MOD21A1D_day.A2020{100 + i:03d}.{i}.tif"
+        ndvi_p = tmp_path / "pairs" / f"MOD09GQ.A2020{100 + i:03d}.{i}.tif"
+        write_geotiff(str(lst_p), lst)
+        write_geotiff(str(ndvi_p), ndvi)
+        rows.append({"LST": str(lst_p), "NDVI": str(ndvi_p), "split": "Train"})
+    csv = tmp_path / "ModisDatasetB.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = tmp_path / "lst_ndvi_regression.png"
+    cm_main(["regression", "--dataset-csv", str(csv),
+             "--statistics", str(stats_json), "--out", str(out)])
+    assert out.exists()
+    printed = capsys.readouterr().out
+    assert "Average Regression Parameters" in printed
+    # slope mu printed and negative (LST = 300 - 20*NDVI)
+    slope_line = next(l for l in printed.splitlines() if l.startswith("Slope"))
+    assert "mu=-" in slope_line
 
 
 def test_timediff_subcommand(tmp_path, capsys):

@@ -129,3 +129,40 @@ def test_streaming_dataset_surfaces_decode_errors(tmp_path):
     stream = StreamingModisDataset(manifest, stats)
     with pytest.raises(Exception):
         list(stream.batches(1, seed=0))
+
+
+def test_streaming_dataset_abandoned_epoch_stops_producer(tmp_path, rng):
+    """Breaking out of batches() mid-epoch must retire the producer thread
+    (it previously blocked forever on a full queue, leaking one daemon
+    thread + its decoded batches per abandoned epoch)."""
+    import csv
+    import threading
+
+    from sifsr_tpu.data.datasets import StreamingModisDataset
+    from sifsr_tpu.data.statistics import Statistics
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    rows = []
+    for i in range(8):
+        lst_p = str(tmp_path / f"lst_{i}.tif")
+        ndvi_p = str(tmp_path / f"ndvi_{i}.tif")
+        write_geotiff(lst_p, (295 + 10 * rng.random((64, 64))).astype(np.float32))
+        write_geotiff(ndvi_p, (0.6 * rng.random((256, 256))).astype(np.float32))
+        rows.append({"LST": lst_p, "NDVI": ndvi_p, "split": "Train"})
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["LST", "NDVI", "split"])
+        w.writeheader()
+        w.writerows(rows)
+
+    before = threading.active_count()
+    stream = StreamingModisDataset(manifest, stats, prefetch=1)
+    for _ in range(3):  # abandon three epochs after one batch each
+        for batch in stream.batches(1, seed=0):
+            assert batch["lst"].shape == (1, 64, 64, 1)
+            break
+    deadline = time.perf_counter() + 10.0
+    while threading.active_count() > before and time.perf_counter() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
