@@ -138,6 +138,12 @@ def main(argv=None):
                         help="pickle per-pair crops for cli.compare_methods")
     parser.add_argument("--figures", action="store_true",
                         help="write 4-panel comparison PNGs per pair")
+    parser.add_argument("--crop", default="erosion",
+                        choices=["erosion", "reference"],
+                        help="common-area crop: 'erosion' (ramp-free, "
+                             "default) or 'reference' (the script's verbatim "
+                             "200K/230K corner crop, "
+                             "model_perf_aster_formatds.py:360-369)")
     args = parser.parse_args(argv)
 
     from sifsr_tpu.eval.harness import run_evaluation
@@ -157,6 +163,7 @@ def main(argv=None):
         limit=args.limit,
         save_pairs_dir=out_dir if args.save_pairs else None,
         figures_dir=os.path.join(out_dir, "figures") if args.figures else None,
+        crop_mode=args.crop,
     )
     print("|-------- Statistics --------|")
     print(df.loc["mean"])

@@ -126,6 +126,62 @@ def _find_corners(image: np.ndarray, threshold: float):
     return p1, p2
 
 
+def _find_corners_reference(image: np.ndarray, threshold: float):
+    """Verbatim port of reference utils.find_corners (utils.py:121-159):
+    binarise at `threshold`, detect the 4 footprint corners with
+    cv2.goodFeaturesToTrack, return (p1 = middle two sorted x's, p2 = middle
+    two sorted y's). Used by the --crop reference eval mode to reproduce the
+    published notebook numbers bit-for-bit (cell 18 anchors)."""
+    import cv2
+
+    img = image.copy()
+    img[img < threshold] = 0.0
+    img[img >= threshold] = 1.0
+    img8 = img.astype("uint8")
+    gray = cv2.cvtColor(cv2.cvtColor(255 * img8, cv2.COLOR_GRAY2BGR),
+                        cv2.COLOR_BGR2GRAY)
+    edges = cv2.goodFeaturesToTrack(gray, 4, 0.01, 10)
+    if edges is None:
+        return None, None
+    edges = np.intp(edges)
+    if edges.shape != (4, 1, 2):
+        return None, None
+    edges = edges.reshape(4, 2)
+    e0 = np.sort(edges[:, 0])
+    e1 = np.sort(edges[:, 1])
+    return [int(e0[1]), int(e0[2])], [int(e1[1]), int(e1[2])]
+
+
+def _reference_crop_slices(overlap_sr, overlap_aster, min_overlap: int = 40):
+    """The reference's exact common-area crop (model_perf_aster_formatds.py
+    :360-369): corner-detect both footprints with the 200 K / 230 K
+    thresholds (NO ramp erosion — the bilinear edge ramps above threshold
+    stay in, as in the published numbers), inner-rectangle with the +-1
+    shrink, then the script's verbatim -1-offset slices.
+
+    cv2.goodFeaturesToTrack is tried verbatim first; current cv2 (5.x)
+    sometimes returns a degenerate corner cluster on footprints clipped by
+    the overlap window (the reference's cv2 era did not), in which case the
+    deterministic extreme-point corners of the same thresholded mask are
+    used — identical p1/p2 semantics, same rectangle arithmetic.
+    Returns (row_slice, col_slice) or None."""
+
+    def corners(img, thr):
+        p1, p2 = _find_corners_reference(img, thr)
+        if (p1 is None or p1[1] - p1[0] <= min_overlap
+                or p2[1] - p2[0] <= min_overlap):
+            return _find_corners(img, thr)
+        return p1, p2
+
+    p1_a, p2_a = corners(overlap_aster, 230.0)
+    p1_m, p2_m = corners(overlap_sr, 200.0)
+    if p1_a is None or p1_m is None:
+        return None
+    p1 = (max(p1_m[0], p1_a[0]) + 1, min(p1_m[1], p1_a[1]) - 1)
+    p2 = (max(p2_m[0], p2_a[0]) + 1, min(p2_m[1], p2_a[1]) - 1)
+    return slice(p2[0] - 1, p2[1] - 1), slice(p1[0] - 1, p1[1] - 1)
+
+
 def _nonzero_rmse(sq_err: np.ndarray) -> float:
     """sqrt(mean of entries), excluding exact zeros — reference quirk
     (model_perf_aster_formatds.py:389, filter((0.0).__ne__, ...))."""
@@ -140,11 +196,17 @@ def evaluate_pair(
     lpips_metric: LPIPS | None = None,
     min_overlap: int = 40,
     return_crops: bool = False,
+    crop_mode: str = "erosion",
 ):
     """Steps 2-6 for one pair; returns the metric dict (or, with
     return_crops, (metrics, crops-dict in the {idx}_dict_pred.pkl layout of
     model_perf_aster_formatds.py:499-503)) or None if the common area is too
-    small (reference skips overlaps <= 40 px, :371)."""
+    small (reference skips overlaps <= 40 px, :371).
+
+    crop_mode: 'erosion' (default) kills the bilinear edge ramps before the
+    corner crop (tighter, ramp-free common area); 'reference' reproduces the
+    reference script's crop verbatim (200 K/230 K thresholds, cv2 corner
+    detection, the -1-offset slices) for anchor-number parity."""
     cy, cx = pair.center
 
     # The reference embeds the patch into the full 4800x4800 granule canvas
@@ -210,6 +272,25 @@ def evaluate_pair(
     ac = (ux - aster_gt[0]) / aster_gt[1] - 0.5
     ar = (uy - aster_gt[3]) / aster_gt[5] - 0.5
     overlap_aster = bilinear_sample(aster_img, ar, ac, fill=0.0) * 0.1  # DN -> K
+
+    if crop_mode == "reference":
+        sl = _reference_crop_slices(overlap_sr, overlap_aster)
+        if sl is None:
+            return None
+        r_sl, c_sl = sl
+        crop_aster = overlap_aster[r_sl, c_sl]
+        crop_sr = overlap_sr[r_sl, c_sl]
+        if crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap:
+            return None
+        metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+        if not return_crops:
+            return metrics
+        return metrics, {
+            "LST:": warped_lo.array[r0:r1, c0:c1][r_sl, c_sl].astype(np.float64),
+            "NDVI": warped_nd.array[r0:r1, c0:c1][r_sl, c_sl].astype(np.float64),
+            "LST_ASTER": crop_aster,
+            "LST_SR": crop_sr,
+        }
 
     # Crop to the common valid region. The reference crops to the inner
     # rectangle of the detected footprint corners (:360-369); bilinear
@@ -368,6 +449,7 @@ def run_evaluation(
     save_pairs_dir: str | None = None,
     figures_dir: str | None = None,
     log_fn=print,
+    crop_mode: str = "erosion",
 ) -> "object":
     """Evaluate ``sr_fn(lst (64,64) K, ndvi (256,256)) -> (256,256) K`` over
     the whole formatted test set; returns the pandas results frame and
@@ -391,7 +473,8 @@ def run_evaluation(
         lst_sr = sr_fn(pair.lst, pair.ndvi)
         want_crops = bool(save_pairs_dir or figures_dir)
         result = evaluate_pair(
-            pair, aster_path, lst_sr, lpips_metric, return_crops=want_crops
+            pair, aster_path, lst_sr, lpips_metric, return_crops=want_crops,
+            crop_mode=crop_mode,
         )
         if result is None:
             log_fn(f"pair {idx}: skipped (no usable overlap)")

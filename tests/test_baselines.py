@@ -74,6 +74,7 @@ def test_atprk_family_runs_and_improves(rng, method):
     assert rmse < rmse_bic
 
 
+@pytest.mark.slow
 def test_dms_runs_and_preserves_coarse_means(rng):
     lst_coarse, ndvi_coarse, ndvi_fine, lst_fine = _synthetic_pair(rng)
     out = dms_sharpen(lst_coarse, ndvi_fine, factor=4)

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from sifsr_tpu.models import ModelB2
 from sifsr_tpu.models.convert import convert_torch_state_dict
+import pytest
 
 
 def _torch_convtranspose_upblock(x, w, b):
@@ -45,6 +46,7 @@ def test_convtranspose_upsample_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_modelb2_convtranspose_config_runs(rng):
     """The bilinear=False configuration builds with the reference's channel
     arithmetic (upfactor=1: db3 emits the full 128) and runs forward."""

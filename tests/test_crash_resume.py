@@ -14,6 +14,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # SIGKILL-subprocess resume, minutes-long
+
 SCRIPT = """
 import json, sys
 import numpy as np

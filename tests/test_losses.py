@@ -56,6 +56,7 @@ def test_gradftm_losses_match_golden():
     assert abs(pl - float(fx["percep_loss"])) < 2e-5
 
 
+@pytest.mark.slow
 def test_one_train_step_matches_torch():
     """Full train-step parity: forward (train-mode BN), both losses, backward,
     Adam update, BN running-stat update — all must reproduce torch."""

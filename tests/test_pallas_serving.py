@@ -23,6 +23,7 @@ STATS = Statistics(maxi=330.0, mini=260.0, mean_lst=300.0, std_lst=8.0,
                    mean_ndvi=0.35, std_ndvi=0.2)
 
 
+@pytest.mark.slow
 def test_pallas_serving_quality_vs_f32(rng):
     variables = load_torch_checkpoint(
         "/root/reference/models/modelB_1009/modelB_state_dict.pt"
@@ -45,6 +46,38 @@ def test_pallas_serving_quality_vs_f32(rng):
     assert d.max() < 1.0
 
 
+@pytest.mark.slow
+def test_pallas_serving_prow_mid_vs_f32(rng):
+    """The round-3 full-pallas path (mid='prow': the U-Net mid chain as
+    p-row kernels, pallas/conv_px) must hold the same int8 quality contract
+    as the XLA-mid path, and stay close to it (both quantize the same convs
+    with the same calibrated scales)."""
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    cal_lst = (305.0 + 4.0 * rng.random((2, 32, 32))).astype(np.float32)
+    cal_ndvi = (0.4 + 0.4 * rng.random((2, 128, 128))).astype(np.float32)
+    params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, STATS)
+
+    model = ModelB2()
+    f32_step = make_sr_step(model, STATS, compute_dtype=jnp.float32)
+    xla_step = make_pallas_sr_step(STATS, interpret=True, mid="xla")
+    prow_step = make_pallas_sr_step(STATS, interpret=True, mid="prow")
+
+    lst = jnp.asarray(304.0 + 6.0 * rng.random((2, 32, 32)), jnp.float32)
+    ndvi = jnp.asarray(0.3 + 0.5 * rng.random((2, 128, 128)), jnp.float32)
+    a = np.asarray(f32_step(variables, lst, ndvi))
+    b = np.asarray(prow_step(params, lst, ndvi))
+    c = np.asarray(xla_step(params, lst, ndvi))
+    d = np.abs(a - b)
+    assert np.sqrt((d**2).mean()) < 0.3
+    assert d.max() < 1.0
+    # same conv weights + same calibrated scales -> the two int8 paths
+    # agree much tighter than either does with f32
+    assert np.sqrt(((b - c) ** 2).mean()) < 0.1
+
+
+@pytest.mark.slow
 def test_predict_cli_pallas(tmp_path, rng, monkeypatch):
     """predict --pallas end-to-end on a tiny synthetic granule: tile ->
     pallas serving (interpret on CPU) -> mosaic -> georeferenced tiff."""

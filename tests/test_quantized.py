@@ -79,6 +79,7 @@ def test_calibration_attaches_static_scales(rng):
     assert 280 < out.mean() < 330
 
 
+@pytest.mark.slow
 def test_int8_packed_path_quality(rng):
     """The composed int8+packed path (see models/quantized_packed.py for the
     measured perf verdict) must match the f32 path within quantization noise."""

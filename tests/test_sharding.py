@@ -37,6 +37,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_parallel_train_step_runs_and_batch_stays_sharded(rng, tiny_model):
     mesh = make_mesh(8)
     state = create_train_state(tiny_model, 1e-3, rng=jax.random.key(0), input_hw=(64, 64))
@@ -55,6 +56,7 @@ def test_parallel_train_step_runs_and_batch_stays_sharded(rng, tiny_model):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_parallel_matches_single_device(rng, tiny_model):
     """The sharded step must produce the same loss and the same updated
     params as the unsharded step on identical data (SPMD is semantics-
@@ -159,6 +161,7 @@ def test_train_step_with_mesh_runs_sharded(rng, tiny_model):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_pallas_serving_step_data_parallel(rng):
     """The flagship pallas serving step runs data-parallel over the mesh:
     its kernels are batch-parallel (grid dim 0 = batch), so sharding the

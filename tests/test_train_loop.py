@@ -24,6 +24,7 @@ def _tiny_config(recipe, n_epochs=2, patience=5):
 
 
 @pytest.mark.parametrize("recipe", ["predef_filters", "gradftm", "scale_invariance"])
+@pytest.mark.slow
 def test_train_smoke_all_recipes(recipe):
     train_ds = make_synthetic_dataset(8, seed=1)
     val_ds = make_synthetic_dataset(4, seed=2)
@@ -39,6 +40,7 @@ def test_train_smoke_all_recipes(recipe):
         assert "train_dsloss" in metrics and "val_perceploss" in metrics
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     train_ds = make_synthetic_dataset(16, seed=3)
     val_ds = make_synthetic_dataset(8, seed=4)
@@ -63,6 +65,7 @@ def test_early_stopping_reference_semantics():
     assert stopper.saved_state["w"][0] == 1.0          # best state retained
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """Interrupt after 2 epochs; a fresh loop resumes and completes to 4 with
     identical metric history length and a populated best snapshot."""
@@ -85,6 +88,7 @@ def test_checkpoint_resume(tmp_path):
     assert metrics_b["train_loss"][:2] == metrics_a["train_loss"]
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_learns():
     """bf16 compute dtype (f32 master weights + BN stats): the step runs,
     the loss decreases, and params stay f32."""
