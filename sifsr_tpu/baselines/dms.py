@@ -16,9 +16,13 @@ behaviour of data_mining_sharpener_modified.py with movingWindowSize=0):
 - residual (bias) correction in radiance space: coarse residual
   LST⁴ - blockmean(pred⁴), bicubic-upsampled x4, added to pred⁴, ^0.25.
 
-The moving-window local-regression machinery of the full DMS is deliberately
-not rebuilt: the reference disables it for patches ("Only way to work with
-patches == removing local regs", model_perf_aster_formatds.py:235).
+The Gao 2012 §2.3 moving-window local-regression machinery
+(data_mining_sharpener.py:649-872) is available via moving_window_size > 0:
+per-window local models (trained on 25%-extended windows), combined with the
+global model by inverse squared coarse residuals in radiance space. The
+reference's patch evaluation disables it ("Only way to work with patches ==
+removing local regs", model_perf_aster_formatds.py:235), so the eval harness
+default stays 0.
 """
 
 from __future__ import annotations
@@ -86,6 +90,7 @@ class DecisionTreeSharpener:
         n_estimators: int = 10,
         factor: int = 4,
         random_state: int | None = 0,
+        moving_window_size: int = 0,
     ):
         self.cv_threshold = cv_homogeneity_threshold
         self.auto_threshold = cv_homogeneity_threshold <= 0
@@ -96,33 +101,43 @@ class DecisionTreeSharpener:
         self.n_estimators = n_estimators
         self.factor = factor
         self.random_state = random_state
+        # Gao 2012 §2.3 moving-window local regressors (reference
+        # data_mining_sharpener.py:649-872): windows of moving_window_size
+        # coarse px, training samples drawn from the window extended by 25%
+        # on each side (:568), one local model per window, combined with the
+        # global model by inverse squared coarse residuals at apply time.
+        # 0 = global model only (the reference's patch-eval configuration,
+        # model_perf_aster_formatds.py:235).
+        self.moving_window_size = int(moving_window_size)
+        self.moving_window_extension = self.moving_window_size * 0.25
         self.reg = None
+        self.local_regs: list = []
 
-    def train(self, ndvi_fine: np.ndarray, lst_coarse: np.ndarray) -> "DecisionTreeSharpener":
-        mean, std = _aggregate_blocks(np.asarray(ndvi_fine, np.float64), self.factor)
-        safe_mean = np.where(mean == 0, 1e-6, mean)
-        cv = (std / safe_mean).mean(axis=-1)
-        cv[np.isnan(cv)] = 1000.0
+    # ------------------------------------------------------------- training
 
+    def _fit_window(self, mean, lst_coarse, cv, rows, cols):
+        """Sample selection + bagged fit on one (extended) coarse window;
+        returns None when the window lacks minimum_sample_number good px
+        (reference :686-688)."""
+        cv_w = cv[rows, cols]
         good = (
-            np.isfinite(lst_coarse)
-            & ~np.any(np.isnan(mean), axis=-1)
-            & (cv > 0)
-            & (cv < 1000)
+            np.isfinite(lst_coarse[rows, cols])
+            & ~np.any(np.isnan(mean[rows, cols]), axis=-1)
+            & (cv_w > 0)
+            & (cv_w < 1000)
         )
         if good.sum() < self.min_samples:
-            raise ValueError("not enough valid training samples for DMS")
-
+            return None
         threshold = (
-            np.percentile(cv[good], 80) if self.auto_threshold else self.cv_threshold
+            np.percentile(cv_w[good], 80) if self.auto_threshold else self.cv_threshold
         )
-        homogeneous = (cv < threshold) & (cv > 0)
-
-        x = mean[good]
-        y = np.asarray(lst_coarse, np.float64)[good]
-        w = 1.0 / cv[good]
+        homogeneous = (cv_w < threshold) & (cv_w > 0)
+        x = mean[rows, cols][good]
+        y = np.asarray(lst_coarse, np.float64)[rows, cols][good]
+        w = 1.0 / cv_w[good]
         if w.size > 1:
-            w = (w - w.min()) / (w.max() - w.min())
+            rng_w = w.max() - w.min()
+            w = (w - w.min()) / rng_w if rng_w > 0 else np.ones_like(w)
             w[~homogeneous[good]] /= 2.0
 
         tree_opts = {"max_leaf_nodes": 30, "min_samples_leaf": min(self.min_samples, 10)}
@@ -130,20 +145,96 @@ class DecisionTreeSharpener:
             base = LeafLinearTreeRegressor(self.extrapolation_ratio, **tree_opts)
         else:
             base = tree.DecisionTreeRegressor(**tree_opts)
-        self.reg = ensemble.BaggingRegressor(
+        reg = ensemble.BaggingRegressor(
             base, n_estimators=self.n_estimators, random_state=self.random_state
         )
-        self.reg.fit(x, y, sample_weight=w)
+        reg.fit(x, y, sample_weight=w)
+        return reg
+
+    def train(self, ndvi_fine: np.ndarray, lst_coarse: np.ndarray) -> "DecisionTreeSharpener":
+        mean, std = _aggregate_blocks(np.asarray(ndvi_fine, np.float64), self.factor)
+        safe_mean = np.where(mean == 0, 1e-6, mean)
+        cv = (std / safe_mean).mean(axis=-1)
+        cv[np.isnan(cv)] = 1000.0
+        gh, gw = cv.shape
+
+        self.local_regs = []
+        if self.moving_window_size > 0:
+            m, ext = self.moving_window_size, self.moving_window_extension
+            for y0 in range(0, gh, m):
+                for x0 in range(0, gw, m):
+                    rows = slice(int(max(y0 - ext, 0)), int(min(y0 + m + ext, gh)))
+                    cols = slice(int(max(x0 - ext, 0)), int(min(x0 + m + ext, gw)))
+                    reg = self._fit_window(mean, lst_coarse, cv, rows, cols)
+                    # extents saved UNextended (reference :660-665)
+                    self.local_regs.append(
+                        ((slice(y0, min(y0 + m, gh)), slice(x0, min(x0 + m, gw))), reg)
+                    )
+
+        self.reg = self._fit_window(
+            mean, lst_coarse, cv, slice(0, gh), slice(0, gw)
+        )
+        if self.reg is None:
+            raise ValueError("not enough valid training samples for DMS")
         return self
 
-    def apply(self, ndvi_fine: np.ndarray) -> np.ndarray:
+    # -------------------------------------------------------------- predict
+
+    def _predict_fine(self, reg, fine: np.ndarray) -> np.ndarray:
+        h, w, b = fine.shape
+        return reg.predict(fine.reshape(-1, b)).reshape(h, w)
+
+    def apply(self, ndvi_fine: np.ndarray, lst_coarse: np.ndarray | None = None) -> np.ndarray:
+        """Disaggregate. With moving windows trained, local predictions are
+        combined with the global one by inverse squared coarse residuals in
+        radiance space (reference :800-858); without lst_coarse the windowed
+        prediction is used alone (:856-858). Windows that could not train a
+        model fall back to the global prediction (NaN-robust deviation from
+        the reference, which leaves NaN holes there)."""
         if self.reg is None:
             raise RuntimeError("call train() first")
         fine = np.asarray(ndvi_fine, np.float64)
         if fine.ndim == 2:
             fine = fine[..., None]
-        h, w, b = fine.shape
-        return self.reg.predict(fine.reshape(-1, b)).reshape(h, w)
+        full = self._predict_fine(self.reg, fine)
+        if not any(reg is not None for _, reg in self.local_regs):
+            return full
+
+        f = self.factor
+        windowed = full.copy()
+        has_local = np.zeros(full.shape, bool)
+        for (rows, cols), reg in self.local_regs:
+            if reg is None:
+                continue
+            hr_rows = slice(rows.start * f, rows.stop * f)
+            hr_cols = slice(cols.start * f, cols.stop * f)
+            windowed[hr_rows, hr_cols] = self._predict_fine(
+                reg, fine[hr_rows, hr_cols]
+            )
+            has_local[hr_rows, hr_cols] = True
+        if lst_coarse is None:
+            return windowed
+
+        # combine by inverse squared coarse residuals (Gao 2012 §2.3)
+        lst = np.asarray(lst_coarse, np.float64)
+        if self.disaggregating_temperature:
+            rw = lst**4 - _aggregate_blocks(windowed**4, f)[0][..., 0]
+            rf = lst**4 - _aggregate_blocks(full**4, f)[0][..., 0]
+        else:
+            rw = lst - _aggregate_blocks(windowed, f)[0][..., 0]
+            rf = lst - _aggregate_blocks(full, f)[0][..., 0]
+        eps = 1e-12
+        ww_lr = (1.0 / np.maximum(rw**2, eps)) / (
+            (1.0 / np.maximum(rw**2, eps)) + (1.0 / np.maximum(rf**2, eps))
+        )
+        ww = np.asarray(
+            upsample_bicubic(jnp.asarray(ww_lr, jnp.float32), f), np.float64
+        )
+        ww = np.clip(ww, 0.0, 1.0)
+        ww[~has_local] = 0.0
+        if self.disaggregating_temperature:
+            return ((windowed**4) * ww + (full**4) * (1.0 - ww)) ** 0.25
+        return windowed * ww + full * (1.0 - ww)
 
     def residual_correction(self, pred_fine: np.ndarray, lst_coarse: np.ndarray) -> np.ndarray:
         """Radiance-space bias correction (reference :1040-1084, :956-965)."""
@@ -163,10 +254,14 @@ class DecisionTreeSharpener:
         return pred_fine + residual_hr
 
 
-def dms_sharpen(lst_coarse: np.ndarray, ndvi_fine: np.ndarray, factor: int = 4) -> np.ndarray:
+def dms_sharpen(lst_coarse: np.ndarray, ndvi_fine: np.ndarray, factor: int = 4,
+                moving_window_size: int = 0) -> np.ndarray:
     """One-call DMS with the evaluation harness's options
-    (model_perf_aster_formatds.py:230-250)."""
-    sharpener = DecisionTreeSharpener(factor=factor)
+    (model_perf_aster_formatds.py:230-250; movingWindowSize=0 there).
+    moving_window_size > 0 enables the Gao 2012 §2.3 local regressors."""
+    sharpener = DecisionTreeSharpener(factor=factor,
+                                      moving_window_size=moving_window_size)
     sharpener.train(ndvi_fine, lst_coarse)
-    pred = sharpener.apply(ndvi_fine)
+    pred = sharpener.apply(ndvi_fine,
+                           lst_coarse if moving_window_size > 0 else None)
     return sharpener.residual_correction(pred, lst_coarse)

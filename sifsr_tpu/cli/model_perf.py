@@ -19,7 +19,8 @@ import numpy as np
 SR_TYPES = ("modelB", "bicubic", "TsHARP", "ATPRK", "AATPRK", "DMS")
 
 
-def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: bool = False):
+def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: bool = False,
+               dms_moving_window: int = 0):
     """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin."""
     if sr_type == "bicubic":
         from sifsr_tpu.baselines import bicubic_sr
@@ -54,7 +55,8 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
     if sr_type == "DMS":
         from sifsr_tpu.baselines import dms_sharpen
 
-        return lambda lst, ndvi: dms_sharpen(lst, ndvi, factor=4)
+        return lambda lst, ndvi: dms_sharpen(
+            lst, ndvi, factor=4, moving_window_size=dms_moving_window)
 
     # modelB
     import jax
@@ -138,6 +140,10 @@ def main(argv=None):
                         help="pickle per-pair crops for cli.compare_methods")
     parser.add_argument("--figures", action="store_true",
                         help="write 4-panel comparison PNGs per pair")
+    parser.add_argument("--dms-moving-window", type=int, default=0,
+                        help="DMS movingWindowSize in coarse px (0 = the "
+                             "reference's patch-eval config; >0 enables the "
+                             "Gao 2012 local regressors)")
     parser.add_argument("--crop", default="erosion",
                         choices=["erosion", "reference"],
                         help="common-area crop: 'erosion' (ramp-free, "
@@ -149,7 +155,8 @@ def main(argv=None):
     from sifsr_tpu.eval.harness import run_evaluation
     from sifsr_tpu.eval.lpips import LPIPS
 
-    sr_fn = make_sr_fn(args.sr_type, args.model_dir, args.statistics, args.scale_invariance)
+    sr_fn = make_sr_fn(args.sr_type, args.model_dir, args.statistics, args.scale_invariance,
+                       dms_moving_window=args.dms_moving_window)
     lpips = LPIPS(args.vgg16_weights, args.lpips_weights)
     if not lpips.available:
         print("LPIPS weights not found offline — LPIPS column will be NaN")

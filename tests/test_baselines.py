@@ -87,3 +87,42 @@ def test_dms_runs_and_preserves_coarse_means(rng):
     rmse = np.sqrt(np.mean((out - lst_fine) ** 2))
     rmse_bic = np.sqrt(np.mean((bicubic_sr(lst_coarse) - lst_fine) ** 2))
     assert rmse < rmse_bic
+
+
+@pytest.mark.slow
+def test_dms_moving_window_local_regressors(rng):
+    """movingWindowSize > 0 path (reference data_mining_sharpener.py:649-872):
+    local per-window models + inverse-residual combination with the global
+    model. On data whose NDVI->LST relation flips sign between the left and
+    right halves, local windows must beat the global-only model."""
+    from sifsr_tpu.baselines.dms import DecisionTreeSharpener
+
+    f = 4
+    gh = gw = 32  # coarse grid
+    ndvi = (0.2 + 0.6 * rng.random((gh * f, gw * f))).astype(np.float64)
+    # spatially varying regime: LST = 300 - 20*NDVI left, 280 + 20*NDVI right
+    xx = np.arange(gw * f)[None, :] >= (gw * f) // 2
+    lst_fine = np.where(xx, 280.0 + 20.0 * ndvi, 300.0 - 20.0 * ndvi)
+    lst_coarse = lst_fine.reshape(gh, f, gw, f).mean(axis=(1, 3))
+
+    def rmse(pred):
+        return float(np.sqrt(np.mean((pred - lst_fine) ** 2)))
+
+    glob = DecisionTreeSharpener(factor=f, random_state=0)
+    glob.train(ndvi, lst_coarse)
+    e_glob = rmse(glob.residual_correction(glob.apply(ndvi), lst_coarse))
+
+    mw = DecisionTreeSharpener(factor=f, random_state=0, moving_window_size=8)
+    mw.train(ndvi, lst_coarse)
+    assert len(mw.local_regs) == 16  # 4x4 windows over the 32x32 coarse grid
+    assert sum(r is not None for _, r in mw.local_regs) >= 12
+    pred_mw = mw.apply(ndvi, lst_coarse)
+    e_mw = rmse(mw.residual_correction(pred_mw, lst_coarse))
+
+    assert np.isfinite(pred_mw).all()
+    assert e_mw < e_glob  # local regressors resolve the regime change
+
+    # without lst_coarse, windowed-only predictions are used (reference
+    # :856-858) and still beat global-only on this data
+    pred_nolr = mw.apply(ndvi)
+    assert rmse(mw.residual_correction(pred_nolr, lst_coarse)) < e_glob
