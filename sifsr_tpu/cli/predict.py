@@ -132,21 +132,13 @@ def main(argv=None):
                 ndvi_b[sel], stats
             )
             step = make_int8_sr_step(stats)
-        from sifsr_tpu.inference import untile_mosaic
-
-        n = lst_b.shape[0]
-        out = _np.zeros((n, 256, 256), _np.float32)
-        bsz = args.batch_size
-        for start in range(0, n, bsz):
-            stop = min(start + bsz, n)
-            pad = bsz - (stop - start)
-            lb, nb = lst_b[start:stop], ndvi_b[start:stop]
-            if pad:
-                lb = _np.concatenate([lb, _np.zeros((pad, 64, 64), _np.float32)])
-                nb = _np.concatenate([nb, _np.zeros((pad, 256, 256), _np.float32)])
-            out[start:stop] = _np.asarray(step(qparams, jnp.asarray(lb), jnp.asarray(nb)))[: stop - start]
-        out[~valid] = 0.0
-        mosaic = untile_mosaic(out, grid)
+        # coverage=0: quantized paths zero any block containing invalid
+        # (0 K) pixels, as the inline loop always did
+        mosaic = predict_granule(
+            variables, lst, ndvi, stats,
+            batch_size=args.batch_size, overlap=args.overlap,
+            coverage=0.0, sr_step=step, step_params=qparams,
+        )
     else:
         mosaic = predict_granule(
             variables, lst, ndvi, stats, model=model,

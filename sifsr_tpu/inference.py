@@ -126,6 +126,9 @@ def predict_granule(
     window: int = 64,
     factor: int = 4,
     mesh=None,
+    sr_step=None,
+    step_params=None,
+    pipeline_depth: int = 3,
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -143,19 +146,31 @@ def predict_granule(
     its devices (variables replicated; XLA partitions the forward — granule
     tiles are embarrassingly parallel). batch_size should be a multiple of
     the mesh size.
+
+    sr_step/step_params: serving-step override, e.g. the int8 or pallas fast
+    paths (models/quantized, models/pallas_serving); called as
+    sr_step(step_params, lst_batch, ndvi_batch).
+
+    The batch loop is double-buffered (pipeline_depth batches in flight):
+    JAX dispatch is asynchronous, so host tile upload + mosaic scatter of
+    batch i overlap device compute of batches i+1..i+depth — the whole-
+    granule wall stays close to the device-only throughput (vs the
+    reference's fully synchronous 324 batch-1 round trips, predict.py:84-103).
     """
-    model = model or ModelB2()
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
     fwin = window * factor
-    sr_step = make_sr_step(model, stats, compute_dtype)
+    if sr_step is None:
+        model = model or ModelB2()
+        sr_step = make_sr_step(model, stats, compute_dtype)
+        step_params = variables
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data_shard = NamedSharding(mesh, P("data"))
-        variables = jax.tree.map(lambda a: jax.device_put(a, repl), variables)
+        step_params = jax.tree.map(lambda a: jax.device_put(a, repl), step_params)
         base_step = sr_step
 
         def sr_step(v, lst_b, ndvi_b):  # noqa: F811 — sharded wrapper
@@ -163,13 +178,18 @@ def predict_granule(
             ndvi_b = jax.device_put(ndvi_b, data_shard)
             return base_step(v, lst_b, ndvi_b)
 
-    if overlap == 0:
-        lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule, window, factor)
-        n = lst_blocks.shape[0]
-        invalid_frac = (lst_blocks == 0.0).mean(axis=(1, 2))
-        keep = invalid_frac <= coverage
+    def run_batches(lst_blocks, ndvi_blocks, n, consume):
+        """Dispatch every batch asynchronously, keeping pipeline_depth in
+        flight; consume(start, stop, sr_numpy) drains completed batches on
+        the host while later batches compute on device."""
+        from collections import deque
 
-        out = np.zeros((n, fwin, fwin), dtype=np.float32)
+        pending: deque = deque()
+
+        def drain():
+            s0, s1, dev = pending.popleft()
+            consume(s0, s1, np.asarray(dev))
+
         for start in range(0, n, batch_size):
             stop = min(start + batch_size, n)
             pad = batch_size - (stop - start)
@@ -178,9 +198,26 @@ def predict_granule(
             if pad:  # static shapes: pad the tail batch
                 lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), np.float32)])
                 ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), np.float32)])
-            sr = np.asarray(sr_step(variables, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+            pending.append(
+                (start, stop, sr_step(step_params, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+            )
+            if len(pending) >= max(pipeline_depth, 1):
+                drain()
+        while pending:
+            drain()
+
+    if overlap == 0:
+        lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule, window, factor)
+        n = lst_blocks.shape[0]
+        invalid_frac = (lst_blocks == 0.0).mean(axis=(1, 2))
+        keep = invalid_frac <= coverage
+
+        out = np.zeros((n, fwin, fwin), dtype=np.float32)
+
+        def consume(start, stop, sr):
             out[start:stop] = sr[: stop - start]
 
+        run_batches(lst_blocks, ndvi_blocks, n, consume)
         out[~keep] = 0.0
         return untile_mosaic(out, grid)
 
@@ -218,15 +255,8 @@ def predict_granule(
     acc = np.zeros((h_lim * factor, w_lim * factor), np.float64)
     wacc = np.zeros_like(acc)
     n = len(origins)
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        pad = batch_size - (stop - start)
-        lst_b = lst_blocks[start:stop]
-        ndvi_b = ndvi_blocks[start:stop]
-        if pad:
-            lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), np.float32)])
-            ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), np.float32)])
-        sr = np.asarray(sr_step(variables, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+
+    def consume(start, stop, sr):
         for k in range(stop - start):
             if not keep[start + k]:
                 continue
@@ -234,5 +264,7 @@ def predict_granule(
             sl = np.s_[factor * y : factor * y + fwin, factor * x : factor * x + fwin]
             acc[sl] += sr[k] * taper
             wacc[sl] += taper
+
+    run_batches(lst_blocks, ndvi_blocks, n, consume)
     out = np.where(wacc > 0, acc / np.maximum(wacc, 1e-12), 0.0)
     return out.astype(np.float32)
