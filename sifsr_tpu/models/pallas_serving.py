@@ -130,13 +130,24 @@ def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
         x = jnp.mean(x.reshape(nn_, h_ // 2, 2, w_ // 2, 2, c_), axis=(2, 4))
         return down_body(x, tree, base)
 
+    def rec_max(key, x):
+        rec[key] = float(jnp.max(jnp.abs(x)))
+        return x
+
     s1 = down_body(s0p.reshape(n, hh, ww, 4, c0).mean(axis=3), mid["db1"], ("db1",))
+    rec_max("m_s1", s1)
     s2 = down(s1, mid["db2"], ("db2",))
+    rec_max("m_s2", s2)
     t = down(s2, mid["db3"], ("db3",))
-    t = double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s2], -1),
-                   mid["ub1"]["convbloc"], ("ub1", "convbloc"))
-    t = double_mid(jnp.concatenate([upsample_bilinear_x2_nhwc(t), s1], -1),
-                   mid["ub2"]["convbloc"], ("ub2", "convbloc"))
+    rec_max("m_t3", t)
+    t = double_mid(jnp.concatenate(
+        [rec_max("m_upt3", upsample_bilinear_x2_nhwc(t)), s2], -1),
+        mid["ub1"]["convbloc"], ("ub1", "convbloc"))
+    rec_max("m_u1", t)
+    t = double_mid(jnp.concatenate(
+        [rec_max("m_upu1", upsample_bilinear_x2_nhwc(t)), s1], -1),
+        mid["ub2"]["convbloc"], ("ub2", "convbloc"))
+    rec_max("m_u2", t)
     up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
     rec["up"] = float(jnp.max(jnp.abs(up_p)))
     u31 = conv_packed(_packed_concat(up_p, c0, s0p, c0), pk["ub3_conv1"], 2 * c0)
@@ -238,9 +249,71 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     mid = {k: walk_mid(v, (k,)) for k, v in pp["mid"].items()
            if k not in ("inbloc", "ub3", "outlay")}
 
+    pmid = _build_prow_mid(pp["mid"], mid_rec, s, headroom)
+
     return {
         "in1": in1, "in2": in2, "u31": u31, "u32": u32, "ol": ol, "mid": mid,
+        "pmid": pmid,
         "s": {k: jnp.float32(v) for k, v in s.items()},
+    }
+
+
+def _build_prow_mid(mid_tree, mid_rec, s, headroom):
+    """Pallas p-row parameter tree for the mid chain (pallas/conv_px).
+
+    Per-conv static input scales come from the same mirror calibration as
+    the XLA int8 mid; inter-level emission scales (m_*) are the recorded
+    tensor maxes. Layout per block: p-pixel rows with p*C = 128 lanes
+    (db1 p=8/C=16 at 128², db2 p=4/C=32 at 64², db3+ub1 p=2/C=64,
+    ub2 p=4 dual 32-channel halves at 128²)."""
+    from sifsr_tpu.pallas.conv_px import prow_leaf
+
+    def cal(*path):
+        return mid_rec[tuple(path)] / 127.0 * headroom
+
+    def k_b(node):
+        return np.asarray(node["conv"]["kernel"]), np.asarray(node["conv"]["bias"])
+
+    def down_leaves(name, p):
+        tree = mid_tree[name]
+        k1, b1 = k_b(tree["res"]["conv1"])
+        k2, b2 = k_b(tree["res"]["conv2"])
+        kl, bl = k_b(tree["lastconv"])
+        s_in = cal(name, "res", "conv1", "conv")
+        s_c2 = cal(name, "res", "conv2", "conv")
+        s_lc = cal(name, "lastconv", "conv")
+        s_out = s[{"db1": "m_s1", "db2": "m_s2", "db3": "m_t3"}[name]]
+        conv1 = prow_leaf(k1, b1, p, s_in, s_c2)
+        conv2 = prow_leaf(k2, b2, p, s_c2, None, post_scale=1.0 / s_lc)
+        conv2["res_sc"] = jnp.full((p * k1.shape[2],),
+                                   np.float32(s_in / s_lc))
+        last = prow_leaf(kl, bl, p, s_lc, s_out)
+        return {"conv1": conv1, "conv2": conv2, "last": last}
+
+    def up_leaves(name, p, s_x, s_z):
+        tree = mid_tree[name]["convbloc"]
+        k1, b1 = k_b(tree["conv1"])
+        k2, b2 = k_b(tree["conv2"])
+        s_c2 = cal(name, "convbloc", "conv2", "conv")
+        s_out = s[{"ub1": "m_u1", "ub2": "m_u2"}[name]]
+        half = k1.shape[2] // 2
+        conv1x = prow_leaf(k1[:, :, :half], b1, p, s_x, s_c2)
+        conv1z = prow_leaf(k1[:, :, half:], np.zeros_like(b1), p, s_z, s_c2)
+        conv2 = prow_leaf(k2, b2, p, s_c2, s_out)
+        return {"conv1x": conv1x, "conv1z": conv1z, "conv2": conv2}
+
+    return {
+        "db1": down_leaves("db1", 8),
+        "db2": down_leaves("db2", 4),
+        "db3": down_leaves("db3", 2),
+        "ub1": up_leaves("ub1", 2, s["m_upt3"], s["m_s2"]),
+        "ub2": up_leaves("ub2", 4, s["m_upu1"], s["m_s1"]),
+        "s": {k: jnp.float32(s[k]) for k in
+              ("m_s1", "m_s2", "m_t3", "m_upt3", "m_u1", "m_upu1", "m_u2")},
+        "s_in": {
+            "db2": jnp.float32(cal("db2", "res", "conv1", "conv")),
+            "db3": jnp.float32(cal("db3", "res", "conv1", "conv")),
+        },
     }
 
 
@@ -250,10 +323,79 @@ def _quant(x, scale):
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
 
 
-def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
+def _pool_quant_i8(x_i8, s_in, s_out):
+    """Exact 2x2 avg pool + requant on an int8 NHWC tensor: the 4-px int8
+    sum fits int32, one f32 multiply folds mean and rescale."""
+    n, h, w, c = x_i8.shape
+    acc = jnp.sum(x_i8.astype(jnp.int32).reshape(n, h // 2, 2, w // 2, 2, c),
+                  axis=(2, 4))
+    return _quant(acc.astype(jnp.float32), 4.0 * s_out / s_in)
+
+
+def _up2_quant_i8(x_i8, s_in, s_out):
+    up = upsample_bilinear_x2_nhwc(x_i8.astype(jnp.float32) * s_in)
+    return _quant(up, s_out)
+
+
+def _prow_mid(pmid, pm_i8, interpret: bool):
+    """The U-Net mid chain (db1..db3, ub1, ub2 — reference model.py:596-604)
+    as p-row pallas convs: pm (N,128,128,16) int8 at db1.conv1's input
+    scale -> (u2 (N,128,128,16) int8, its dequant scale). NHWC<->rows hops
+    are pure reshapes; the only XLA compute is the 3 pools / 2 upsamples /
+    plane interleaves (small int8 tensors)."""
+    from sifsr_tpu.pallas.conv_px import (
+        conv_prow, conv_prow_dual, nhwc_to_rows, planes_to_nhwc,
+        rows_to_nhwc)
+
+    sc, si = pmid["s"], pmid["s_in"]
+
+    def down(name, x_nhwc, p, c, c_last, split):
+        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+        tree = pmid[name]
+        x = nhwc_to_rows(x_nhwc, p)
+        a = conv_prow(x, tree["conv1"], p, c, c, h, w, interpret=interpret)
+        r = conv_prow(a, tree["conv2"], p, c, c, h, w, residual=x,
+                      interpret=interpret)
+        out = conv_prow(r, tree["last"], p, c, c_last, h, w, split=split,
+                        interpret=interpret)
+        if split:
+            return planes_to_nhwc(out[0], out[1], h, w, p, c_last)
+        return rows_to_nhwc(out, h, w, c_last)
+
+    def up(name, x_nhwc, z_nhwc, p, c, c1, c2):
+        # reference UpBlock's DoubleConvolution narrows in two steps:
+        # conv1 concat(2c) -> c1, conv2 c1 -> c2 (model.py:161-248)
+        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+        tree = pmid[name]
+        a = conv_prow_dual(nhwc_to_rows(x_nhwc, p), nhwc_to_rows(z_nhwc, p),
+                           tree["conv1x"], tree["conv1z"], p, c, c1, h, w,
+                           interpret=interpret)
+        out = conv_prow(a, tree["conv2"], p, c1, c2, h, w,
+                        interpret=interpret)
+        return rows_to_nhwc(out, h, w, c2)
+
+    s1m = down("db1", pm_i8, 8, 16, 32, True)            # (N,128,128,32)
+    s2 = down("db2", _pool_quant_i8(s1m, sc["m_s1"], si["db2"]),
+              4, 32, 64, True)                           # (N,64,64,64)
+    t3 = down("db3", _pool_quant_i8(s2, sc["m_s2"], si["db3"]),
+              2, 64, 64, False)                          # (N,32,32,64)
+    u1 = up("ub1", _up2_quant_i8(t3, sc["m_t3"], sc["m_upt3"]),
+            s2, 2, 64, 64, 32)                           # (N,64,64,32)
+    u2 = up("ub2", _up2_quant_i8(u1, sc["m_u1"], sc["m_upu1"]),
+            s1m, 4, 32, 32, 16)                          # (N,128,128,16)
+    return u2, sc["m_u2"]
+
+
+def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
+                        mid: str = "xla"):
     """Pallas-serving twin of inference.make_sr_step:
     (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
     interpret defaults to True off-TPU (pallas interpreter for CPU tests).
+
+    mid: 'xla' keeps the round-2 XLA int8 mid chain; 'prow' runs it as
+    p-row pallas kernels (pallas/conv_px) — the round-3 fast path that
+    removes the XLA mid's quant/dequant elementwise passes and most
+    XLA<->Pallas relayout copies.
 
     mesh: a jax.sharding.Mesh with a 'data' axis runs the step data-parallel
     via shard_map (GSPMD would otherwise replicate through the pallas custom
@@ -261,8 +403,56 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
     no collectives on the serving path."""
     from sifsr_tpu.models.quantized_packed import _conv_i8_mid, _double_mid, _down
 
+    assert mid in ("xla", "prow"), mid
+    use_prow = mid == "prow"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def _finish(params, y6, s0p, n, hp, wb):
+        """Shared tail: phase-separated x2 output -> ub3 dual conv ->
+        ub3.conv2 -> outlay + exact border strips -> Kelvin SR."""
+        # one explicit 7D transpose straight to pair-rows packed form
+        # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
+        up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
+            0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
+        d = params["u31"]
+        u31 = conv_i8_exact_dual(up_q, s0p,
+                                 d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
+                                 d["scale_x"], d["scale_z"], d["bias"],
+                                 hp, hp, interpret=interpret)
+        u2 = params["u32"]
+        olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
+                            hp, hp, interpret=interpret)
+
+        # outlay (XLA int8, input already quantized at the ol scale):
+        # zero-padded conv (pad folded into the conv op, no materialised
+        # replicate-pad copy) + exact replicate-pad border strips pasted
+        # into the final SR — the wrong ring is 1 packed px (2 fine px)
+        ol = params["ol"]
+        yol = lax.conv_general_dilated(
+            olp, ol["q"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
+        sr = _depth_to_space(yol, 1)[..., 0]
+
+        def strip(part, take_h, take_w):
+            """Exact outlay on a thin 2-packed-px slice of olp: the packed
+            replicate pad is applied to the slice only (the far-side pad row
+            it fabricates lands outside the taken outputs)."""
+            y = lax.conv_general_dilated(
+                _replicate_pad_packed(part, 16), ol["q"], (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
+            return _depth_to_space(y[:, take_h, take_w], 1)[..., 0]
+
+        all_ = slice(None)
+        sr = sr.at[:, :2, :].set(strip(olp[:, 0:2], slice(0, 1), all_))
+        sr = sr.at[:, -2:, :].set(strip(olp[:, -2:], slice(1, 2), all_))
+        sr = sr.at[:, :, :2].set(strip(olp[:, :, 0:2], all_, slice(0, 1)))
+        sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
+        return sr * stats.std_lst + stats.mean_lst
 
     @jax.jit
     def sr_step(params, lst_blocks, ndvi_blocks):
@@ -311,6 +501,13 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
                                 pm_dtype=jnp.int8, interpret=interpret)
         pm = pm.reshape(s0p.shape[0], hp, hp, 16)
 
+        if use_prow:
+            u2, s_u2 = _prow_mid(params["pmid"], pm, interpret)
+            y6 = upsample_phases(u2, 2, "linear_ac", out_dtype=jnp.int8,
+                                 scale=s["up"], in_scale=s_u2,
+                                 interpret=interpret)
+            return _finish(params, y6, s0p, n, hp, wb)
+
         def mid_conv_prequant(x_q, s_x, leaf, relu=True):
             xq = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
             y = lax.conv_general_dilated(
@@ -335,55 +532,12 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None):
                         mid["ub2"]["convbloc"])
 
         # ub3.conv1 (exact pallas dual: up-path + skip, concat-free); the
-        # x2 upsample quantizes to the up scale inside the phase kernel
+        # x2 upsample quantizes to the up scale inside the phase kernel.
+        # ub3 conv1 (dual) then conv2 stay separate kernels: a fused chained
+        # variant measured a wash (round-2 profile).
         y6 = upsample_phases(t, 2, "linear_ac", out_dtype=jnp.int8,
                              scale=s["up"], interpret=interpret)
-        # one explicit 7D transpose straight to pair-rows packed form
-        # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
-        up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
-            0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
-        # ub3 conv1 (dual, concat-free) then conv2 — kept as separate
-        # kernels: a fused chained variant measured a wash (stage-1 halo
-        # overcompute + the scratch dependency eat the HBM-round-trip
-        # saving; round-2 profile)
-        d = params["u31"]
-        u31 = conv_i8_exact_dual(up_q, s0p,
-                                 d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
-                                 d["scale_x"], d["scale_z"], d["bias"],
-                                 hp, hp, interpret=interpret)
-        u2 = params["u32"]
-        olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
-                            hp, hp, interpret=interpret)
-
-        # outlay (XLA int8, input already quantized at the ol scale):
-        # zero-padded conv (pad folded into the conv op, no materialised
-        # replicate-pad copy) + exact replicate-pad border strips pasted
-        # into the final SR — the wrong ring is 1 packed px (2 fine px)
-        ol = params["ol"]
-        yol = lax.conv_general_dilated(
-            olp, ol["q"], (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
-        sr = _depth_to_space(yol, 1)[..., 0]
-
-        def strip(part, take_h, take_w):
-            """Exact outlay on a thin 2-packed-px slice of olp: the packed
-            replicate pad is applied to the slice only (the far-side pad row
-            it fabricates lands outside the taken outputs)."""
-            y = lax.conv_general_dilated(
-                _replicate_pad_packed(part, 16), ol["q"], (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
-            return _depth_to_space(y[:, take_h, take_w], 1)[..., 0]
-
-        all_ = slice(None)
-        sr = sr.at[:, :2, :].set(strip(olp[:, 0:2], slice(0, 1), all_))
-        sr = sr.at[:, -2:, :].set(strip(olp[:, -2:], slice(1, 2), all_))
-        sr = sr.at[:, :, :2].set(strip(olp[:, :, 0:2], all_, slice(0, 1)))
-        sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
-        return sr * stats.std_lst + stats.mean_lst
+        return _finish(params, y6, s0p, n, hp, wb)
 
     if mesh is None:
         return sr_step

@@ -1,0 +1,374 @@
+"""Generalized p-pixel-row exact int8 Pallas convs — the U-Net mid chain.
+
+Round 2 left the serving step ~31% short of the 10k patches/s north star
+with a measured split (batch 256, 37.6 ms/iter): pallas 256²-level kernels
+9.7 ms, XLA<->Pallas layout copies ~13 ms, XLA int8 mid chain ~12.7 ms (of
+which ~5.5 ms is pure quantize/dequantize elementwise traffic around XLA's
+convs). This module moves the mid chain (db1..db3, ub1, ub2 — reference
+model.py:596-604, the blocks between `inbloc` and `ub3`) into Pallas so the
+whole serving graph is custom calls + thin int8 reshape glue.
+
+Design (generalizes pallas/conv_i8.py's pixel-pair rows):
+
+- a (H, W, C) int8 tensor lives as rows (H * W/p, p*C): row r = (image row
+  i, pixel group g) = p adjacent pixels x C channels; p is chosen so the
+  lane count p*C fills the 128-wide MXU/VPU (p=8 for C=16 at 128², p=4 for
+  C=32, p=2 for C=64). NHWC <-> row form is a *pure reshape* (row-major
+  (i, g) rows, (px, c) lanes), so the inter-level XLA glue (2x2 avg pools,
+  bilinear x2 upsamples, requants) runs on NHWC views for free;
+- a 3x3 conv is 2 int8 matmuls: the 3 vertical taps of the row value are
+  lane-concatenated (R, 3pC) against banded weights WM (in-row horizontal
+  taps), and a compact 2C-lane neighbour composite [left px | right px]
+  against WC (cross-group taps). MAC inflation over the dense fine conv is
+  (p+2)/3 — the price of full-lane MXU occupancy at small channel counts;
+- replicate borders are fixed in-register with `where` masks on image-local
+  row/group indices — kernels are exact everywhere, including corners, and
+  remain exact when several images share one grid step (`ib`, sized to
+  VMEM): rolls that wrap across image boundaries are always overwritten by
+  a border fix;
+- one kernel = one conv (+ fused dequant/ReLU/requant epilogue, optional
+  residual add, optional dual input for the decoder's skip concats, and an
+  optional split epilogue emitting two half-row planes when p*C_out > 128).
+  Consecutive layers exchange int8 rows-form tensors pallas-to-pallas,
+  which is copy-free (all custom calls pin the default layout).
+
+Reference anchors: conv semantics are the BN-folded ModelB_2 mid blocks
+(reference model.py:85-159, 458-531, 608-645); exactness vs an int32-exact
+XLA reference is asserted in tests/test_conv_px_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "pack_prow_weights",
+    "prow_leaf",
+    "conv_prow",
+    "conv_prow_dual",
+    "nhwc_to_rows",
+    "rows_to_nhwc",
+    "planes_to_nhwc",
+]
+
+
+# ---------------------------------------------------------- form conversions
+
+
+def nhwc_to_rows(x, p: int):
+    """(N, H, W, C) -> (N, H*W/p, p*C): free reshape (no relayout)."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h * (w // p), p * c)
+
+
+def rows_to_nhwc(x, h: int, w: int, c: int):
+    n = x.shape[0]
+    return x.reshape(n, h, w, c)
+
+
+def planes_to_nhwc(lo, hi, h: int, w: int, p: int, c: int):
+    """Interleave split-epilogue half-row planes back to NHWC: lo carries
+    pixels 0..p/2-1 of each p-group, hi pixels p/2..p-1."""
+    n = lo.shape[0]
+    g = w // p
+    lo = lo.reshape(n, h, g, 1, p // 2, c)
+    hi = hi.reshape(n, h, g, 1, p // 2, c)
+    return jnp.concatenate([lo, hi], axis=3).reshape(n, h, w, c)
+
+
+# ------------------------------------------------------------ weight packing
+
+
+def pack_prow_weights(k: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """3x3 conv kernel (3, 3, Cin, Cout) -> (WM, WC) for p-pixel rows.
+
+    WM (3*p*Cin, p*Cout): WM[tap*p*Cin + pin*Cin + ci, pout*Cout + co] =
+    k[tap, pin-pout+1, ci, co] for |pin-pout| <= 1 (banded in-row taps).
+    WC (6*Cin, p*Cout): the left composite pixel (group g-1's last px)
+    feeds pout=0 with dw=-1, the right one (group g+1's first px) feeds
+    pout=p-1 with dw=+1; `tap` is the vertical (dh+1) index.
+    """
+    k = np.asarray(k)
+    assert k.ndim == 4 and k.shape[0] == 3 and k.shape[1] == 3, k.shape
+    cin, cout = k.shape[2], k.shape[3]
+    wm = np.zeros((3 * p * cin, p * cout), k.dtype)
+    wc = np.zeros((6 * cin, p * cout), k.dtype)
+    for tap in range(3):
+        for pin in range(p):
+            for pout in range(p):
+                if abs(pin - pout) > 1:
+                    continue
+                wm[tap * p * cin + pin * cin : tap * p * cin + (pin + 1) * cin,
+                   pout * cout : (pout + 1) * cout] = k[tap, pin - pout + 1]
+        wc[tap * 2 * cin : tap * 2 * cin + cin, 0:cout] = k[tap, 0]
+        wc[tap * 2 * cin + cin : (tap + 1) * 2 * cin,
+           (p - 1) * cout : p * cout] = k[tap, 2]
+    return wm, wc
+
+
+def _quant_w(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel
+    (same rule as models/quantized._quantize_kernel)."""
+    k = np.asarray(k, np.float64)
+    s = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+    q = np.clip(np.round(k / s), -127, 127).astype(np.int8)
+    return q, s
+
+def prow_leaf(kernel, bias, p: int, s_in, s_out=None,
+              post_scale=1.0) -> dict:
+    """One conv layer -> packed int8 weights + folded scale/bias tiled
+    across the p output-pixel slots. The epilogue computes
+    post(relu(y*scale + bias)): scale = s_in*sw[/s_out]*post_scale,
+    bias = b[/s_out]*post_scale."""
+    q, sw = _quant_w(kernel)
+    wm, wc = pack_prow_weights(q, p)
+    comb = float(s_in) * sw * float(post_scale)
+    b = np.asarray(bias, np.float64) * float(post_scale)
+    if s_out is not None:
+        comb, b = comb / float(s_out), b / float(s_out)
+    return {
+        "wm": jnp.asarray(wm),
+        "wc": jnp.asarray(wc),
+        "scale": jnp.asarray(np.tile(comb, p).astype(np.float32)),
+        "bias": jnp.asarray(np.tile(b, p).astype(np.float32)),
+    }
+
+
+# ----------------------------------------------------------- in-kernel conv
+
+
+def _shift_rows(v, by: int):
+    """t[r] = v[r + by] (wrapping) for int8 (R, L). Multiples of 4 are an
+    int32-packed roll (4 rows per 32-bit word, row 4s+k in byte k); +-1 is
+    the byte shift with word carry (same trick as conv_i8._row_shift_*)."""
+    if by == 0:
+        return v
+    if by % 4 == 0:
+        v32 = pltpu.bitcast(v, jnp.uint32)
+        return pltpu.bitcast(
+            pltpu.roll(v32, (-by // 4) % v32.shape[0], axis=0), jnp.int8)
+    if by == 1:
+        v32 = pltpu.bitcast(v, jnp.uint32)
+        carry = pltpu.roll(v32, v32.shape[0] - 1, axis=0) << 24
+        return pltpu.bitcast((v32 >> 8) | carry, jnp.int8)
+    if by == -1:
+        v32 = pltpu.bitcast(v, jnp.uint32)
+        carry = pltpu.roll(v32, 1, axis=0) >> 24
+        return pltpu.bitcast((v32 << 8) | carry, jnp.int8)
+    # general case: floor-multiple-of-4 word roll + 1..3 byte shifts
+    base = (by // 4) * 4
+    out = _shift_rows(v, base) if base else v
+    for _ in range(by - base):
+        out = _shift_rows(out, 1)
+    return out
+
+
+def _geometry(rows: int, r_img: int, gpi: int):
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % r_img
+    return rr % gpi, rr // gpi
+
+
+def _conv_once(v, c_in: int, wm_ref, wc_ref, r_img: int, gpi: int, hh: int):
+    """Exact 3x3 replicate-pad conv on p-rows: int32 accumulator."""
+    rows, lanes = v.shape
+    gidx, iidx = _geometry(rows, r_img, gpi)
+
+    prev = _shift_rows(v, -1)
+    nxt = _shift_rows(v, 1)
+    left = jnp.where(gidx == 0, v[:, 0:c_in], prev[:, lanes - c_in : lanes])
+    right = jnp.where(gidx == gpi - 1, v[:, lanes - c_in : lanes],
+                      nxt[:, 0:c_in])
+    comp = jnp.concatenate([left, right], axis=1)
+
+    def vtaps(x):
+        up = _shift_rows(x, -gpi)
+        dn = _shift_rows(x, gpi)
+        top = jnp.where(iidx == 0, x, up)
+        bot = jnp.where(iidx == hh - 1, x, dn)
+        return jnp.concatenate([top, x, bot], axis=1)
+
+    v3, c3 = vtaps(v), vtaps(comp)
+    ya = jax.lax.dot_general(v3, wm_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    yb = jax.lax.dot_general(c3, wc_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    return ya + yb
+
+
+def _requant(yf, out_dtype):
+    if out_dtype == jnp.int8:
+        return jnp.clip(jnp.round(yf), -127, 127).astype(jnp.int8)
+    return yf.astype(out_dtype)
+
+
+# --------------------------------------------------------------- the kernels
+
+
+def _epi(y, sc_ref, b_ref, relu: bool):
+    yf = y.astype(jnp.float32) * sc_ref[0] + b_ref[0]
+    return jnp.maximum(yf, 0.0) if relu else yf
+
+
+def _conv_kernel(x_ref, wm, wc, sc, b, out_ref, *, c, p, r_img, gpi, hh, ib,
+                 relu, out_dtype):
+    v = x_ref[...].reshape(ib * r_img, p * c)
+    y = _conv_once(v, c, wm, wc, r_img, gpi, hh)
+    out_ref[...] = _requant(_epi(y, sc, b, relu), out_dtype).reshape(
+        out_ref.shape)
+
+
+def _conv_res_kernel(x_ref, v0_ref, wm, wc, sc, b, res_sc, out_ref, *, c, p,
+                     r_img, gpi, hh, ib, relu, out_dtype):
+    """out = requant(v0 * res_sc + relu(y*sc + b)) — the residual add of
+    DownBlock_pool's ResidualConnection fused into conv2's epilogue (the
+    1/s_next requant fold is prescaled into sc/b/res_sc)."""
+    v = x_ref[...].reshape(ib * r_img, p * c)
+    y = _conv_once(v, c, wm, wc, r_img, gpi, hh)
+    yf = _epi(y, sc, b, relu)
+    v0 = v0_ref[...].reshape(yf.shape[0], -1)
+    out_ref[...] = _requant(v0.astype(jnp.float32) * res_sc[0] + yf,
+                            out_dtype).reshape(out_ref.shape)
+
+
+def _conv_split_kernel(x_ref, wm, wc, sc, b, lo_ref, hi_ref, *, c, p, r_img,
+                       gpi, hh, ib, relu, out_dtype):
+    v = x_ref[...].reshape(ib * r_img, p * c)
+    y = _conv_once(v, c, wm, wc, r_img, gpi, hh)
+    yf = _epi(y, sc, b, relu)
+    half = yf.shape[1] // 2
+    lo_ref[...] = _requant(yf[:, :half], out_dtype).reshape(lo_ref.shape)
+    hi_ref[...] = _requant(yf[:, half:], out_dtype).reshape(hi_ref.shape)
+
+
+def _conv_dual_kernel(x_ref, z_ref, wmx, wcx, wmz, wcz, scx, scz, b,
+                      out_ref, *, c, p, r_img, gpi, hh, ib, relu, out_dtype):
+    """conv(concat(x, z)) = conv_x(x) + conv_z(z): the decoder skip concat
+    never materialises (same trick as conv_i8_exact_dual)."""
+    vx = x_ref[...].reshape(ib * r_img, p * c)
+    vz = z_ref[...].reshape(ib * r_img, p * c)
+    yx = _conv_once(vx, c, wmx, wcx, r_img, gpi, hh)
+    yz = _conv_once(vz, c, wmz, wcz, r_img, gpi, hh)
+    yf = (yx.astype(jnp.float32) * scx[0]
+          + yz.astype(jnp.float32) * scz[0] + b[0])
+    if relu:
+        yf = jnp.maximum(yf, 0.0)
+    out_ref[...] = _requant(yf, out_dtype).reshape(out_ref.shape)
+
+
+# ------------------------------------------------------------ public entries
+
+
+def _wspec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _img_block(ib, r_img, lanes):
+    return pl.BlockSpec((ib, r_img, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_ib(n: int, r_img: int, lanes: int, lanes_out: int,
+             budget: int = 8 * 2**20) -> int:
+    """Images per grid step: the footprint is dominated by the int32
+    accumulator + the f32 epilogue value (8 bytes/lane_out) plus the int8
+    operands (~9 bytes/lane with the tap concats); fill ~budget, cap 8."""
+    per_img = r_img * (9 * lanes + 12 * lanes_out)
+    ib = max(1, min(8, budget // max(per_img, 1)))
+    while n % ib:
+        ib -= 1
+    return ib
+
+
+def _vec(a):
+    return a.reshape(1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "c_out", "h", "w", "relu", "split", "out_dtype", "interpret"))
+def conv_prow(x_rows, leaf: dict, p: int, c: int, c_out: int, h: int, w: int,
+              relu: bool = True, residual=None, split: bool = False,
+              out_dtype=jnp.int8, interpret: bool = False):
+    """Exact p-row 3x3 conv, one custom call.
+
+    x_rows (N, H*W/p, p*c) int8 -> (N, R, p*c_out) (or two half-row planes
+    when split=True, for p*c_out > 128). leaf from prow_leaf; when
+    `residual` is given, leaf must also hold 'res_sc' (1-vector f32) and the
+    epilogue adds residual*res_sc before requantization."""
+    n, r_img, lanes = x_rows.shape
+    assert lanes == p * c, (lanes, p, c)
+    gpi = w // p
+    lanes_out = p * c_out
+    ib = _pick_ib(n, r_img, lanes, lanes_out)
+    common = dict(c=c, p=p, r_img=r_img, gpi=gpi, hh=h, ib=ib, relu=relu,
+                  out_dtype=out_dtype)
+    w_specs = [_wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+               _wspec((1, lanes_out)), _wspec((1, lanes_out))]
+    w_args = [leaf["wm"], leaf["wc"], _vec(leaf["scale"]), _vec(leaf["bias"])]
+    if split:
+        half = lanes_out // 2
+        return pl.pallas_call(
+            functools.partial(_conv_split_kernel, **common),
+            grid=(n // ib,),
+            in_specs=[_img_block(ib, r_img, lanes)] + w_specs,
+            out_specs=(_img_block(ib, r_img, half),
+                       _img_block(ib, r_img, half)),
+            out_shape=(jax.ShapeDtypeStruct((n, r_img, half), out_dtype),
+                       jax.ShapeDtypeStruct((n, r_img, half), out_dtype)),
+            interpret=interpret,
+        )(x_rows, *w_args)
+    assert lanes_out <= 128, lanes_out
+    if residual is not None:
+        return pl.pallas_call(
+            functools.partial(_conv_res_kernel, **common),
+            grid=(n // ib,),
+            in_specs=[_img_block(ib, r_img, lanes),
+                      _img_block(ib, r_img, residual.shape[2])]
+            + w_specs + [_wspec((1, lanes_out))],
+            out_specs=_img_block(ib, r_img, lanes_out),
+            out_shape=jax.ShapeDtypeStruct((n, r_img, lanes_out), out_dtype),
+            interpret=interpret,
+        )(x_rows, residual, *w_args, _vec(leaf["res_sc"]))
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, **common),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes)] + w_specs,
+        out_specs=_img_block(ib, r_img, lanes_out),
+        out_shape=jax.ShapeDtypeStruct((n, r_img, lanes_out), out_dtype),
+        interpret=interpret,
+    )(x_rows, *w_args)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "c_out", "h", "w", "relu", "out_dtype", "interpret"))
+def conv_prow_dual(x_rows, z_rows, leafx: dict, leafz: dict, p: int, c: int,
+                   c_out: int, h: int, w: int, relu: bool = True,
+                   out_dtype=jnp.int8, interpret: bool = False):
+    """Skip-concat conv: conv(concat(x, z)), both (N, H*W/p, p*c) int8;
+    leafx carries the shared bias."""
+    n, r_img, lanes = x_rows.shape
+    assert lanes == p * c and z_rows.shape == x_rows.shape
+    gpi = w // p
+    lanes_out = p * c_out
+    assert lanes_out <= 128, lanes_out
+    ib = _pick_ib(n, r_img, 2 * lanes, lanes_out)
+    return pl.pallas_call(
+        functools.partial(_conv_dual_kernel, c=c, p=p, r_img=r_img, gpi=gpi,
+                          hh=h, ib=ib, relu=relu, out_dtype=out_dtype),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes), _img_block(ib, r_img, lanes),
+                  _wspec(leafx["wm"].shape), _wspec(leafx["wc"].shape),
+                  _wspec(leafz["wm"].shape), _wspec(leafz["wc"].shape),
+                  _wspec((1, lanes_out)), _wspec((1, lanes_out)),
+                  _wspec((1, lanes_out))],
+        out_specs=_img_block(ib, r_img, lanes_out),
+        out_shape=jax.ShapeDtypeStruct((n, r_img, lanes_out), out_dtype),
+        interpret=interpret,
+    )(x_rows, z_rows, leafx["wm"], leafx["wc"], leafz["wm"], leafz["wc"],
+      _vec(leafx["scale"]), _vec(leafz["scale"]), _vec(leafx["bias"]))

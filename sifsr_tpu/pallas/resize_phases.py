@@ -91,11 +91,14 @@ def _phase_kernel(x_ref, rc_ref, cc_ref, sc_ref, out_ref, *, factor, deltas,
     static_argnames=("factor", "kind", "out_dtype", "interpret"),
 )
 def upsample_phases(x, factor: int, kind: str, out_dtype=jnp.float32,
-                    scale=None, interpret: bool = False):
+                    scale=None, in_scale=None, interpret: bool = False):
     """(N, H, W, C) f32 -> (N, factor, factor, H, W, C) phase-separated
     upsample: result[n, d, e, k, l] == resized[n, factor*k+d, factor*l+e].
 
-    out_dtype=jnp.int8 fuses quantisation by 1/scale into the epilogue."""
+    out_dtype=jnp.int8 fuses quantisation by 1/scale into the epilogue.
+    An int8 input with dequant scale `in_scale` is supported for free: the
+    kernel casts to f32 anyway and the dequant multiply folds into the
+    row-pass coefficients (linearity of the resize)."""
     n, h, w, c = x.shape
     wc = w * c
     rdeltas, rcoef = _coeff_arrays(h, factor, kind, c, False)
@@ -110,6 +113,8 @@ def upsample_phases(x, factor: int, kind: str, out_dtype=jnp.float32,
 
     rc = jnp.asarray(expand(rcoef, rdeltas, h)[..., None])   # (f, nd, h, 1)
     cc = jnp.asarray(expand(ccoef, cdeltas, wc))             # (f, nd, wc)
+    if in_scale is not None:
+        rc = rc * jnp.float32(in_scale)
     inv = jnp.full((1,), 0.0 if scale is None else 1.0, jnp.float32)
     if scale is not None:
         inv = (1.0 / jnp.asarray(scale, jnp.float32)).reshape(1)
