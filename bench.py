@@ -75,19 +75,26 @@ def bench_serving():
     # the pallas path's device time is batch-linear from 256 up, while the
     # XLA int8 path amortises its fixed passes best at 1024
     candidates = {}
+    pallas_params = None
     try:
         from sifsr_tpu.models.pallas_serving import (
             build_pallas_serving_params, make_pallas_sr_step)
 
+        pallas_params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
         candidates["pallas_i8"] = (
             make_pallas_sr_step(stats),
-            build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats),
+            pallas_params,
+            256,
+        )
+        candidates["pallas_full"] = (
+            make_pallas_sr_step(stats, mid="prow"),
+            pallas_params,
             256,
         )
     except Exception as exc:  # pragma: no cover
         import sys
 
-        print(f"pallas_i8 setup failed: {exc}", file=sys.stderr)
+        print(f"pallas setup failed: {exc}", file=sys.stderr)
     try:
         from sifsr_tpu.models.quantized import (
             calibrate_activation_scales, make_int8_sr_step, quantize_serving_params)
@@ -114,7 +121,40 @@ def bench_serving():
             import sys
 
             print(f"bench path {name} failed: {exc}", file=sys.stderr)
-    return paths, batches
+
+    # whole-granule wall: the deployable number — host tile extraction +
+    # transfers + device SR + host mosaic scatter, double-buffered
+    # (inference.predict_granule), on a synthetic full 1200x1200 granule
+    granule = None
+    if pallas_params is not None and paths:
+        try:
+            from sifsr_tpu.inference import predict_granule
+            from sifsr_tpu.models.pallas_serving import make_pallas_sr_step
+
+            best_mid = "prow" if paths.get("pallas_full", 0) >= paths.get(
+                "pallas_i8", 0) else "xla"
+            g_step = make_pallas_sr_step(stats, mid=best_mid)
+            lst_g = (290.0 + 5.0 * rng.random((1200, 1200))).astype(np.float32)
+            ndvi_g = (rng.random((4800, 4800)) * 0.8).astype(np.float32)
+            kw = dict(stats=stats, batch_size=108, sr_step=g_step,
+                      step_params=pallas_params)
+            predict_granule(None, lst_g, ndvi_g, **kw)  # compile + warm
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                predict_granule(None, lst_g, ndvi_g, **kw)
+            dt = time.perf_counter() - t0
+            n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
+            granule = {
+                "patches_per_sec_wall": round(reps * n_patches / dt, 1),
+                "granule_seconds": round(dt / reps, 3),
+                "mid": best_mid,
+            }
+        except Exception as exc:  # pragma: no cover
+            import sys
+
+            print(f"granule bench failed: {exc}", file=sys.stderr)
+    return paths, batches, granule
 
 
 def bench_training():
@@ -168,7 +208,7 @@ def bench_training():
 
 
 def main():
-    paths, batches = bench_serving()
+    paths, batches, granule = bench_serving()
     train = bench_training()
     best_path = max(paths, key=paths.get) if paths else ""
     best = paths.get(best_path, 0.0)
@@ -180,6 +220,7 @@ def main():
         "batch": batches.get(best_path),
         "path": best_path,
         "paths": paths,
+        "granule": granule,
         "mfu_int8": round(best * PATCH_FLOPS / V5E_INT8_PEAK, 4),
         "train_samples_per_sec": train,
         "device": str(jax.devices()[0]),
