@@ -55,7 +55,8 @@ from sifsr_tpu.models.quantized import _quantize_kernel
 from sifsr_tpu.pallas.conv_i8 import (
     conv_i8_exact,
     conv_i8_exact_dual,
-    conv_i8_prestacked,
+    conv_i8_in1,
+    pack_in1_weights,
     pack_row_tap_weights,
 )
 from sifsr_tpu.pallas.resize_phases import (
@@ -171,23 +172,16 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     ol = _qleaf(*pk["outlay"])
     ol["in_scale"] = jnp.float32(s["ol"])
 
-    # inbloc.conv1 (packed 8->64) as the prestacked pallas matmul: the 3x3
-    # neighbourhood is lane-stacked by XLA (order (dh, dw) row-major, then
-    # 8 packed channels), per-pixel block-diagonal weights
+    # inbloc.conv1 (packed 8->64) as the in-kernel tap-stacked matmul
+    # (conv_i8_in1): weights packed to the K=432 [3 tap rows | 3 tap
+    # composites] form, scale/bias tiled to the (o-pair, px, ch) 1024 lanes
     w1, b1 = pk["in_conv1"]
     q1, sw1 = _quantize_kernel(np.asarray(w1))
-    w144 = np.zeros((144, 128), np.int8)
-    for dh in range(3):
-        for dw in range(3):
-            pidx = dh * 3 + dw
-            for px in range(2):
-                w144[px * 72 + pidx * 8 : px * 72 + pidx * 8 + 8,
-                     px * 64 : (px + 1) * 64] = q1[dh, dw]
     comb1 = s["in1"] * sw1 / s["in2"]
     in1 = {
-        "w144": jnp.asarray(w144),
-        "scale": jnp.asarray(np.tile(comb1, 2).astype(np.float32)),
-        "bias": jnp.asarray(np.tile(np.asarray(b1, np.float64) / s["in2"], 2)
+        "w432": jnp.asarray(pack_in1_weights(q1)),
+        "scale": jnp.asarray(np.tile(comb1, 16).astype(np.float32)),
+        "bias": jnp.asarray(np.tile(np.asarray(b1, np.float64) / s["in2"], 16)
                             .astype(np.float32)),
         "in_scale": jnp.float32(s["in1"]),
     }
@@ -249,7 +243,8 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     mid = {k: walk_mid(v, (k,)) for k, v in pp["mid"].items()
            if k not in ("inbloc", "ub3", "outlay")}
 
-    pmid = _build_prow_mid(pp["mid"], mid_rec, s, headroom)
+    pmid = _build_prow_mid(pp["mid"], mid_rec, s, headroom,
+                           2 * np.asarray(sample_lst).shape[1])
 
     return {
         "in1": in1, "in2": in2, "u31": u31, "u32": u32, "ol": ol, "mid": mid,
@@ -258,21 +253,35 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     }
 
 
-def _build_prow_mid(mid_tree, mid_rec, s, headroom):
+def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp):
     """Pallas p-row parameter tree for the mid chain (pallas/conv_px).
+    hp: the packed level-0 size (2 * LST size); the fused-upsample stencil
+    coefficient tables bind the prow params to this serving shape.
 
     Per-conv static input scales come from the same mirror calibration as
     the XLA int8 mid; inter-level emission scales (m_*) are the recorded
     tensor maxes. Layout per block: p-pixel rows with p*C = 128 lanes
     (db1 p=8/C=16 at 128², db2 p=4/C=32 at 64², db3+ub1 p=2/C=64,
-    ub2 p=4 dual 32-channel halves at 128²)."""
-    from sifsr_tpu.pallas.conv_px import prow_leaf
+    ub2 p=4 dual 32-channel halves at 128²). ALL inter-level glue is fused
+    into the kernels: the 2x2 pools live in the DownBlock lastconv epilogue
+    (pool_sc), the x2 upsamples in db3.last/ub1.conv2 (up2 coeffs, emitting
+    e-major groups absorbed by the consumer's in_perm weight packing), and
+    the skip concats consume the producer's split half-planes directly.
+    The 64-lane-out convs (ub1/ub2 conv2) run at doubled p via fold."""
+    from sifsr_tpu.pallas.conv_px import prow_leaf, up2_coeffs, up2_perm
 
     def cal(*path):
         return mid_rec[tuple(path)] / 127.0 * headroom
 
     def k_b(node):
         return np.asarray(node["conv"]["kernel"]), np.asarray(node["conv"]["bias"])
+
+    def attach_up2(leaf, h, w, c_out, s_mid, s_up):
+        _, rc, cc, inv = up2_coeffs(h, w, c_out, s_mid, s_up)
+        leaf["rc"] = jnp.asarray(rc)
+        leaf["cc"] = jnp.asarray(cc)
+        leaf["inv"] = jnp.asarray(inv)
+        return leaf
 
     def down_leaves(name, p):
         tree = mid_tree[name]
@@ -288,6 +297,12 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom):
         conv2["res_sc"] = jnp.full((p * k1.shape[2],),
                                    np.float32(s_in / s_lc))
         last = prow_leaf(kl, bl, p, s_lc, s_out)
+        if name in ("db1", "db2"):                  # fused 2x2 pool
+            s_next = cal({"db1": "db2", "db2": "db3"}[name],
+                         "res", "conv1", "conv")
+            last["pool_sc"] = jnp.full((128,), np.float32(s_out / (4 * s_next)))
+        else:                                       # db3: fused x2 upsample
+            attach_up2(last, hp // 4, hp // 4, 64, s["m_t3"], s["m_upt3"])
         return {"conv1": conv1, "conv2": conv2, "last": last}
 
     def up_leaves(name, p, s_x, s_z):
@@ -297,9 +312,13 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom):
         s_c2 = cal(name, "convbloc", "conv2", "conv")
         s_out = s[{"ub1": "m_u1", "ub2": "m_u2"}[name]]
         half = k1.shape[2] // 2
-        conv1x = prow_leaf(k1[:, :, :half], b1, p, s_x, s_c2)
+        perm = up2_perm(p) if p > 2 else None       # x input is up2 output
+        conv1x = prow_leaf(k1[:, :, :half], b1, p, s_x, s_c2, in_perm=perm)
         conv1z = prow_leaf(k1[:, :, half:], np.zeros_like(b1), p, s_z, s_c2)
-        conv2 = prow_leaf(k2, b2, p, s_c2, s_out)
+        # conv2 at doubled p (fold=2): p*c_out stays 128 lanes
+        conv2 = prow_leaf(k2, b2, 2 * p, s_c2, s_out)
+        if name == "ub1":                           # fused x2 upsample
+            attach_up2(conv2, hp // 2, hp // 2, 32, s["m_u1"], s["m_upu1"])
         return {"conv1x": conv1x, "conv1z": conv1z, "conv2": conv2}
 
     return {
@@ -310,10 +329,6 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom):
         "ub2": up_leaves("ub2", 4, s["m_upu1"], s["m_s1"]),
         "s": {k: jnp.float32(s[k]) for k in
               ("m_s1", "m_s2", "m_t3", "m_upt3", "m_u1", "m_upu1", "m_u2")},
-        "s_in": {
-            "db2": jnp.float32(cal("db2", "res", "conv1", "conv")),
-            "db3": jnp.float32(cal("db3", "res", "conv1", "conv")),
-        },
     }
 
 
@@ -337,52 +352,52 @@ def _up2_quant_i8(x_i8, s_in, s_out):
     return _quant(up, s_out)
 
 
-def _prow_mid(pmid, pm_i8, interpret: bool):
+def _prow_mid(pmid, pm_rows, hp: int, interpret: bool):
     """The U-Net mid chain (db1..db3, ub1, ub2 — reference model.py:596-604)
-    as p-row pallas convs: pm (N,128,128,16) int8 at db1.conv1's input
-    scale -> (u2 (N,128,128,16) int8, its dequant scale). NHWC<->rows hops
-    are pure reshapes; the only XLA compute is the 3 pools / 2 upsamples /
-    plane interleaves (small int8 tensors)."""
+    as a pure pallas chain: pm_rows (N, 2048, 128) int8 (p=8 rows at 128²,
+    already at db1.conv1's input scale, straight from conv_i8_exact's fused
+    phase-mean output) -> (u2_rows (N, 2048, 128) int8 p=8/C=16 at 128²,
+    its dequant scale). ZERO XLA ops between the custom calls: pools live in
+    the DownBlock last-conv epilogues, x2 upsamples in db3.last/ub1.conv2
+    epilogues, skip concats read the split half-planes directly."""
     from sifsr_tpu.pallas.conv_px import (
-        conv_prow, conv_prow_dual, nhwc_to_rows, planes_to_nhwc,
-        rows_to_nhwc)
+        conv_prow, conv_prow_dual_planes, conv_prow_split_pool,
+        conv_prow_up2)
 
-    sc, si = pmid["s"], pmid["s_in"]
+    sc = pmid["s"]
 
-    def down(name, x_nhwc, p, c, c_last, split):
-        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
+    def down(name, x, p, c, h):
         tree = pmid[name]
-        x = nhwc_to_rows(x_nhwc, p)
-        a = conv_prow(x, tree["conv1"], p, c, c, h, w, interpret=interpret)
-        r = conv_prow(a, tree["conv2"], p, c, c, h, w, residual=x,
-                      interpret=interpret)
-        out = conv_prow(r, tree["last"], p, c, c_last, h, w, split=split,
-                        interpret=interpret)
-        if split:
-            return planes_to_nhwc(out[0], out[1], h, w, p, c_last)
-        return rows_to_nhwc(out, h, w, c_last)
+        a = conv_prow(x, tree["conv1"], p, c, c, h, h, interpret=interpret)
+        return conv_prow(a, tree["conv2"], p, c, c, h, h, residual=x,
+                         interpret=interpret)
 
-    def up(name, x_nhwc, z_nhwc, p, c, c1, c2):
-        # reference UpBlock's DoubleConvolution narrows in two steps:
-        # conv1 concat(2c) -> c1, conv2 c1 -> c2 (model.py:161-248)
-        h, w = x_nhwc.shape[1], x_nhwc.shape[2]
-        tree = pmid[name]
-        a = conv_prow_dual(nhwc_to_rows(x_nhwc, p), nhwc_to_rows(z_nhwc, p),
-                           tree["conv1x"], tree["conv1z"], p, c, c1, h, w,
-                           interpret=interpret)
-        out = conv_prow(a, tree["conv2"], p, c1, c2, h, w,
-                        interpret=interpret)
-        return rows_to_nhwc(out, h, w, c2)
-
-    s1m = down("db1", pm_i8, 8, 16, 32, True)            # (N,128,128,32)
-    s2 = down("db2", _pool_quant_i8(s1m, sc["m_s1"], si["db2"]),
-              4, 32, 64, True)                           # (N,64,64,64)
-    t3 = down("db3", _pool_quant_i8(s2, sc["m_s2"], si["db3"]),
-              2, 64, 64, False)                          # (N,32,32,64)
-    u1 = up("ub1", _up2_quant_i8(t3, sc["m_t3"], sc["m_upt3"]),
-            s2, 2, 64, 64, 32)                           # (N,64,64,32)
-    u2 = up("ub2", _up2_quant_i8(u1, sc["m_u1"], sc["m_upu1"]),
-            s1m, 4, 32, 32, 16)                          # (N,128,128,16)
+    h2, h3 = hp // 2, hp // 4
+    db1 = down("db1", pm_rows, 8, 16, hp)
+    s1lo, s1hi, x2 = conv_prow_split_pool(db1, pmid["db1"]["last"],
+                                          8, 16, 32, hp, hp,
+                                          interpret=interpret)
+    db2 = down("db2", x2, 4, 32, h2)
+    s2lo, s2hi, x3 = conv_prow_split_pool(db2, pmid["db2"]["last"],
+                                          4, 32, 64, h2, h2,
+                                          interpret=interpret)
+    db3 = down("db3", x3, 2, 64, h3)
+    up3 = conv_prow_up2(db3, pmid["db3"]["last"], 2, 64, 64, 2, h3, h3,
+                        interpret=interpret)             # h2² p=2 rows
+    # reference UpBlock's DoubleConvolution narrows in two steps:
+    # conv1 concat(2c) -> c1, conv2 c1 -> c2 (model.py:161-248)
+    ub1 = pmid["ub1"]
+    u1a = conv_prow_dual_planes(up3, s2lo, s2hi, ub1["conv1x"],
+                                ub1["conv1z"], 2, 64, 64, h2, h2,
+                                interpret=interpret)
+    upu1 = conv_prow_up2(u1a, ub1["conv2"], 4, 64, 32, 4, h2, h2, fold=2,
+                         interpret=interpret)            # hp² p=4 rows
+    ub2 = pmid["ub2"]
+    u2a = conv_prow_dual_planes(upu1, s1lo, s1hi, ub2["conv1x"],
+                                ub2["conv1z"], 4, 32, 32, hp, hp,
+                                interpret=interpret)
+    u2 = conv_prow(u2a, ub2["conv2"], 8, 32, 16, hp, hp, fold=2,
+                   interpret=interpret)                  # (N, hp*hp/8, 128)
     return u2, sc["m_u2"]
 
 
@@ -472,21 +487,17 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
             scale=in1["in_scale"], interpret=interpret))     # (N,hp,hp,4) i8
         ndvi_q = _quant(_space_to_depth(ndvi_n[..., None]), in1["in_scale"])
 
-        # inbloc.conv1 (prestacked pallas matmul): XLA lane-stacks the 3x3
-        # neighbourhood of the 8-channel packed input — int8 slices/concats
-        # only, no f32 conv intermediate, no quant passes, and the output
-        # feeds inbloc.conv2 pallas-to-pallas (no relayout copies)
+        # inbloc.conv1 (in-kernel tap stack, conv_i8_in1): the 3x3 packed
+        # neighbourhood is assembled in-register from 16-px rows (row shifts
+        # + pad permutation matmuls), so the layer reads the 8-ch input once
+        # in one custom call — the round-2 prestacked form spent ~5.9 ms/iter
+        # of XLA concat+relayout building the x144 tensor. Output is already
+        # pixel-pair rows, feeding inbloc.conv2 pallas-to-pallas.
         xq = jnp.concatenate([lst_q.reshape(n, hp, hp, 4, 1),
                               ndvi_q.reshape(n, hp, hp, 4, 1)],
                              -1).reshape(n, hp, hp, 8)
-        xp = _replicate_pad_packed(xq, 2)
-        x9 = jnp.concatenate(
-            [xp[:, 1 + dh : 1 + dh + hp, 1 + dw : 1 + dw + hp]
-             for dh in (-1, 0, 1) for dw in (-1, 0, 1)], -1)
-        x144 = x9.reshape(n, hp * wb, 144)
-        s1q = conv_i8_prestacked(x144, in1["w144"], in1["scale"],
-                                 in1["bias"],
-                                 interpret=interpret).reshape(n, hp, hp, 64)
+        s1q = conv_i8_in1(xq, in1["w432"], in1["scale"], in1["bias"],
+                          hp, hp, interpret=interpret).reshape(n, hp, hp, 64)
 
         # inbloc.conv2 (exact pallas, one custom call) -> s0p int8 at the s0
         # scale + the mid-chain phase mean fused as a second output, emitted
@@ -498,15 +509,17 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         s0p, pm = conv_i8_exact(s1q, in2["wm"], in2["wc"], in2["scale"],
                                 in2["bias"], hp, hp,
                                 phase_mean=s["s0"] / s_db1,
-                                pm_dtype=jnp.int8, interpret=interpret)
-        pm = pm.reshape(s0p.shape[0], hp, hp, 16)
+                                pm_dtype=jnp.int8, pm_rows=use_prow,
+                                interpret=interpret)
 
         if use_prow:
-            u2, s_u2 = _prow_mid(params["pmid"], pm, interpret)
+            u2_rows, s_u2 = _prow_mid(params["pmid"], pm, hp, interpret)
+            u2 = u2_rows.reshape(n, hp, hp, 16)
             y6 = upsample_phases(u2, 2, "linear_ac", out_dtype=jnp.int8,
                                  scale=s["up"], in_scale=s_u2,
                                  interpret=interpret)
             return _finish(params, y6, s0p, n, hp, wb)
+        pm = pm.reshape(n, hp, hp, 16)
 
         def mid_conv_prequant(x_q, s_x, leaf, relu=True):
             xq = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")

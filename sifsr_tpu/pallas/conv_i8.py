@@ -53,6 +53,9 @@ __all__ = [
     "conv_i8_exact",
     "conv_i8_exact_dual",
     "conv_i8_prestacked",
+    "conv_i8_in1",
+    "pack_in1_weights",
+    "in1_pad_matrices",
 ]
 
 
@@ -175,6 +178,19 @@ def phase_mean_matrix(c: int = 16) -> np.ndarray:
     return m
 
 
+def phase_mean_matrix_rows(c: int = 16) -> np.ndarray:
+    """(512, 128) block-diagonal phase_mean_matrix x4: four consecutive
+    pair-rows lane-concatenated (the (R, 128) -> (R/4, 512) in-kernel
+    reshape) map straight to one 128-lane p=8 rows-form phase-mean row —
+    Mosaic rejects narrowing reshapes below 128 lanes, so the summing matmul
+    does the regrouping instead."""
+    m32 = phase_mean_matrix(c)
+    m = np.zeros((512, 128), np.int8)
+    for b in range(4):
+        m[b * 128 : (b + 1) * 128, b * 32 : (b + 1) * 32] = m32
+    return m
+
+
 def _perm_dot(v, p_ref):
     """Apply a 128x128 int8 permutation matrix to int8 rows, exactly."""
     return jax.lax.dot_general(
@@ -252,7 +268,10 @@ def _exact_kernel_pm(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
     yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
     yq = _epilogue(yf, relu, jnp.int8)
     out_ref[0] = yq
-    pm = jax.lax.dot_general(yq, msum_ref[...], (((1,), (0,)), ((), ())),
+    # emit in p=8 rows form (4 pair-rows -> one 128-lane row, lanes
+    # (jp, px, ch)): the mid chain consumes this with zero relayout
+    yq4 = yq.reshape(yq.shape[0] // 4, 512)
+    pm = jax.lax.dot_general(yq4, msum_ref[...], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
     pmf = pm.astype(jnp.float32) * pm_scale_ref[0, 0]
     pm_ref[0] = _epilogue(pmf, False, pm_dtype)
@@ -304,18 +323,21 @@ def _perm_consts(dtype=jnp.int8):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "wp", "relu", "out_dtype", "pm_dtype", "interpret"),
+    static_argnames=("hp", "wp", "relu", "out_dtype", "pm_dtype", "pm_rows",
+                     "interpret"),
 )
 def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
                   relu: bool = True, out_dtype=jnp.int8,
                   phase_mean=None, pm_dtype=jnp.float32,
-                  interpret: bool = False):
+                  pm_rows: bool = False, interpret: bool = False):
     """Exact packed-domain 3x3 conv 64->64 in one custom call.
 
     x_packed: (N, hp, wp, 64) int8, UNPADDED; returns (N, hp, wp, 64)
-    out_dtype (+ the (N, hp, wp/2, 32) f32 phase-mean if phase_mean is the
-    dequant scale s_out — lanes (px, ch), reshape to (N, hp, wp, 16) via
-    .reshape(n, hp, wp, 16) is a free relayout)."""
+    out_dtype (+ the phase mean if phase_mean is the dequant scale s_out).
+    The phase mean is computed in the kernel in p=8 rows form
+    ((N, hp*wp/16, 128), lanes (jp, px, ch) — the mid chain's conv_prow
+    input layout, zero glue); pm_rows=False reshapes it to the NHWC-view
+    (N, hp, wp/2, 32) for the XLA-mid consumers."""
     n = x_packed.shape[0]
     wb = wp // 2
     slab = _exact_slab(hp)
@@ -341,9 +363,9 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
     kern = functools.partial(_exact_kernel_pm, relu=relu, wb=wb,
                              n_slabs=n_slabs, total=total, pm_dtype=pm_dtype,
                              slab=slab)
-    msum = pl.BlockSpec((128, 32), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    msum = pl.BlockSpec((512, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     pm_sc = pl.BlockSpec((1, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM)
-    pm_out = pl.BlockSpec((1, slab * wb, 32), lambda i, s: (i, s, 0),
+    pm_out = pl.BlockSpec((1, slab * wb // 4, 128), lambda i, s: (i, s, 0),
                           memory_space=pltpu.VMEM)
     y, pm = pl.pallas_call(
         kern,
@@ -351,12 +373,14 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
         in_specs=[img, w, w, vec, vec, perm, perm, perm, msum, pm_sc],
         out_specs=(out, pm_out),
         out_shape=(jax.ShapeDtypeStruct((n, total, 128), jnp.int8),
-                   jax.ShapeDtypeStruct((n, total, 32), pm_dtype)),
+                   jax.ShapeDtypeStruct((n, total // 4, 128), pm_dtype)),
         interpret=interpret,
     )(x_rows, wm.reshape(384, 128), wc.reshape(384, 128),
       scale.reshape(1, 128), bias.reshape(1, 128),
-      pf, pt, pb, jnp.asarray(phase_mean_matrix()),
+      pf, pt, pb, jnp.asarray(phase_mean_matrix_rows()),
       jnp.full((1, 1), phase_mean / 4.0, jnp.float32))
+    if pm_rows:
+        return y.reshape(n, hp, wp, 64), pm
     return y.reshape(n, hp, wp, 64), pm.reshape(n, hp, wb, 32)
 
 
@@ -389,6 +413,162 @@ def conv_i8_exact_dual(x_packed, z_packed, wmx, wcx, wmz, wcz, scale_x,
       scale_x.reshape(1, 128), scale_z.reshape(1, 128),
       bias.reshape(1, 128), pf, pt, pb)
     return y.reshape(n, hp, wp, 64)
+
+
+# --------------------------------------------- in1: 8-ch packed 3x3 in-kernel
+#
+# inbloc.conv1 (reference model.py:596, the 2->16 fine conv) in packed form is
+# a 3x3 conv 8->64 at 128². Round 2 served it as conv_i8_prestacked with XLA
+# lane-stacking the 3x3 neighbourhood — profiled at ~5.9 ms/iter of concat +
+# relayout copies at batch 256 (the x144 tensor is 4.5x the input bytes and
+# XLA materialises it twice). v3: the tap stack is built IN-KERNEL from
+# 16-pixel rows (lanes = 16 px x 8 ch = 128), so the layer reads the packed
+# input once and is one custom call:
+#
+# - input rows r = (image row i, 16-px group g), lanes (px, q, r, c) with the
+#   packed channel order of models/packed._space_to_depth;
+# - vertical taps via the int32-packed row shifts (+-gpi), with the packed
+#   replicate row pad applied in-register as a phase permutation matmul
+#   (P_top/P_bot on (px, q->0/1, r, c) lanes);
+# - horizontal neighbours beyond the 16-px group (px -1 / px 16) come from
+#   the +-1 row shifts' edge pixels; at image borders they are replaced by
+#   the packed replicate column pad (r->0/1 phase permutation, P_edge);
+# - one K=432 int8 matmul ([3 tap rows | 3 tap composites] x (432, 1024))
+#   computes all 8 output pixel-pairs of the group; the epilogue requantizes
+#   and emits pixel-pair rows (R*8, 128) via an in-register reshape, feeding
+#   conv_i8_exact (in2) pallas-to-pallas with zero XLA glue.
+
+
+def in1_pad_matrices() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(P_top, P_bot, P_edge) for the 16-px 8-ch rows: P_top/P_bot are
+    (128, 128) phase permutations of a whole row (packed replicate row pad,
+    models/packed._pad_perms with c=2); P_edge (128, 16) emits
+    [left-pad px (8) | right-pad px (8)]: the left pad pixel is px 0 with
+    r->0, the right pad pixel is px 15 with r->1."""
+    pt = np.zeros((128, 128), np.int8)
+    pb = np.zeros((128, 128), np.int8)
+    pe = np.zeros((128, 16), np.int8)
+    for px in range(16):
+        for q in range(2):
+            for r in range(2):
+                for w in range(2):
+                    dst = px * 8 + q * 4 + r * 2 + w
+                    pt[px * 8 + 0 * 4 + r * 2 + w, dst] = 1
+                    pb[px * 8 + 1 * 4 + r * 2 + w, dst] = 1
+    for q in range(2):
+        for w in range(2):
+            for r in range(2):
+                pe[0 * 8 + q * 4 + 0 * 2 + w, q * 4 + r * 2 + w] = 1
+                pe[15 * 8 + q * 4 + 1 * 2 + w, 8 + q * 4 + r * 2 + w] = 1
+    return pt, pb, pe
+
+
+def pack_in1_weights(q1: np.ndarray) -> np.ndarray:
+    """Packed int8 conv kernel (3, 3, 8, 64) -> (432, 1024) for conv_i8_in1.
+
+    Input lanes: [tap0 row (128) | tap1 | tap2 | tap0 comp (16 = prev px |
+    next px) | tap1 comp | tap2 comp]; output lanes (o-pair 8, px 2, ch 64)."""
+    q1 = np.asarray(q1)
+    assert q1.shape == (3, 3, 8, 64), q1.shape
+    w = np.zeros((432, 1024), q1.dtype)
+    for o in range(8):
+        for opx in range(2):
+            col = (o * 2 + opx) * 64
+            out_px = 2 * o + opx
+            for dh in range(3):
+                for dw in range(3):
+                    p = out_px + dw - 1
+                    if 0 <= p < 16:
+                        w[dh * 128 + p * 8 : dh * 128 + (p + 1) * 8,
+                          col : col + 64] = q1[dh, dw]
+                    elif p == -1:       # prev-group px 15 / left pad
+                        w[384 + dh * 16 : 384 + dh * 16 + 8,
+                          col : col + 64] = q1[dh, 0]
+                    else:               # p == 16: next-group px 0 / right pad
+                        w[384 + dh * 16 + 8 : 384 + dh * 16 + 16,
+                          col : col + 64] = q1[dh, 2]
+    return w
+
+
+def _in1_kernel(x_ref, w_ref, sc_ref, b_ref, pt_ref, pb_ref, pe_ref, out_ref,
+                *, gpi, h, relu, out_dtype):
+    from sifsr_tpu.pallas.conv_px import _shift_rows  # no import cycle: conv_px is self-contained
+
+    v = x_ref[0]                                   # (h*gpi, 128) int8
+    rows = v.shape[0]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gidx, iidx = rr % gpi, rr // gpi
+
+    up = _shift_rows(v, -gpi)
+    dn = _shift_rows(v, gpi)
+    top = jnp.where(iidx == 0, _perm_dot(v, pt_ref), up)
+    bot = jnp.where(iidx == h - 1, _perm_dot(v, pb_ref), dn)
+
+    def comp(t):
+        edge = jax.lax.dot_general(
+            t, pe_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        prev = jnp.where(gidx == 0, edge[:, 0:8],
+                         _shift_rows(t, -1)[:, 120:128])
+        nxt = jnp.where(gidx == gpi - 1, edge[:, 8:16],
+                        _shift_rows(t, 1)[:, 0:8])
+        return jnp.concatenate([prev, nxt], axis=1)
+
+    x_full = jnp.concatenate(
+        [top, v, bot, comp(top), comp(v), comp(bot)], axis=1)   # (R, 432)
+    y = jax.lax.dot_general(x_full, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * sc_ref[0] + b_ref[0]
+    out_ref[0] = _epilogue(yf, relu, out_dtype).reshape(out_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "relu", "out_dtype", "interpret")
+)
+def conv_i8_in1(xq, w432, scale, bias, h: int, w: int, relu: bool = True,
+                out_dtype=jnp.int8, interpret: bool = False):
+    """Packed-domain 3x3 conv 8->64 in one custom call, emitting pair rows.
+
+    xq: (N, h, w, 8) int8 packed input (channel order (q, r, c) of
+    models/packed._space_to_depth), UNPADDED. Returns (N, h*w/2, 128) int8
+    pixel-pair rows (= conv_i8_exact's input form; reshape to (N, h, w, 64)
+    is free). w432 from pack_in1_weights; scale/bias are the 128-lane
+    (px, ch) vectors tiled x8 to 1024 lanes by the caller."""
+    n = xq.shape[0]
+    assert xq.shape[1] == h and xq.shape[2] == w and xq.shape[3] == 8
+    assert w % 16 == 0, w
+    gpi = w // 16
+    rows = h * gpi
+    x_rows = xq.reshape(n, rows, 128)
+    pt, pb, pe = in1_pad_matrices()
+    kern = functools.partial(_in1_kernel, gpi=gpi, h=h, relu=relu,
+                             out_dtype=out_dtype)
+    y = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((432, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows * 8, 128), out_dtype),
+        interpret=interpret,
+    )(x_rows, w432, scale.reshape(1, 1024), bias.reshape(1, 1024),
+      jnp.asarray(pt), jnp.asarray(pb), jnp.asarray(pe))
+    return y
 
 
 # ------------------------------------------ pre-stacked conv (skinny layers)

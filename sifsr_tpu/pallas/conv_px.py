@@ -52,6 +52,11 @@ __all__ = [
     "prow_leaf",
     "conv_prow",
     "conv_prow_dual",
+    "conv_prow_dual_planes",
+    "conv_prow_split_pool",
+    "conv_prow_up2",
+    "up2_coeffs",
+    "up2_perm",
     "nhwc_to_rows",
     "rows_to_nhwc",
     "planes_to_nhwc",
@@ -85,7 +90,20 @@ def planes_to_nhwc(lo, hi, h: int, w: int, p: int, c: int):
 # ------------------------------------------------------------ weight packing
 
 
-def pack_prow_weights(k: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+def up2_perm(p: int) -> tuple[int, ...]:
+    """Lane-slot -> spatial-pixel map of conv_prow_up2's output rows: the
+    fused x2 upsample emits each p-group e-major ([even out px | odd out
+    px]); slot s < p/2 holds px 2s, slot s >= p/2 holds px 2(s-p/2)+1.
+    Identity for p=2; (0, 2, 1, 3) for p=4. Consumers absorb it via
+    pack_prow_weights(in_perm=...) — slot 0 is always px 0 and slot p-1
+    always px p-1, so the kernels' composite/border lane slices are
+    unchanged."""
+    half = p // 2
+    return tuple(2 * s if s < half else 2 * (s - half) + 1 for s in range(p))
+
+
+def pack_prow_weights(k: np.ndarray, p: int,
+                      in_perm=None) -> tuple[np.ndarray, np.ndarray]:
     """3x3 conv kernel (3, 3, Cin, Cout) -> (WM, WC) for p-pixel rows.
 
     WM (3*p*Cin, p*Cout): WM[tap*p*Cin + pin*Cin + ci, pout*Cout + co] =
@@ -93,18 +111,28 @@ def pack_prow_weights(k: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     WC (6*Cin, p*Cout): the left composite pixel (group g-1's last px)
     feeds pout=0 with dw=-1, the right one (group g+1's first px) feeds
     pout=p-1 with dw=+1; `tap` is the vertical (dh+1) index.
+
+    in_perm (len p) maps input LANE SLOT s -> spatial pixel in_perm[s]
+    (e.g. up2_perm(p) for conv_prow_up2 producers); the banding is computed
+    in spatial pixels, so the permutation is absorbed here for free. It must
+    keep slot 0 = px 0 and slot p-1 = px p-1 (the composite slices assume
+    that).
     """
     k = np.asarray(k)
     assert k.ndim == 4 and k.shape[0] == 3 and k.shape[1] == 3, k.shape
+    if in_perm is None:
+        in_perm = tuple(range(p))
+    assert in_perm[0] == 0 and in_perm[p - 1] == p - 1, in_perm
     cin, cout = k.shape[2], k.shape[3]
     wm = np.zeros((3 * p * cin, p * cout), k.dtype)
     wc = np.zeros((6 * cin, p * cout), k.dtype)
     for tap in range(3):
-        for pin in range(p):
+        for slot in range(p):
+            pin = in_perm[slot]
             for pout in range(p):
                 if abs(pin - pout) > 1:
                     continue
-                wm[tap * p * cin + pin * cin : tap * p * cin + (pin + 1) * cin,
+                wm[tap * p * cin + slot * cin : tap * p * cin + (slot + 1) * cin,
                    pout * cout : (pout + 1) * cout] = k[tap, pin - pout + 1]
         wc[tap * 2 * cin : tap * 2 * cin + cin, 0:cout] = k[tap, 0]
         wc[tap * 2 * cin + cin : (tap + 1) * 2 * cin,
@@ -121,13 +149,14 @@ def _quant_w(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, s
 
 def prow_leaf(kernel, bias, p: int, s_in, s_out=None,
-              post_scale=1.0) -> dict:
+              post_scale=1.0, in_perm=None) -> dict:
     """One conv layer -> packed int8 weights + folded scale/bias tiled
     across the p output-pixel slots. The epilogue computes
     post(relu(y*scale + bias)): scale = s_in*sw[/s_out]*post_scale,
-    bias = b[/s_out]*post_scale."""
+    bias = b[/s_out]*post_scale. in_perm: input lane-slot permutation
+    (see pack_prow_weights)."""
     q, sw = _quant_w(kernel)
-    wm, wc = pack_prow_weights(q, p)
+    wm, wc = pack_prow_weights(q, p, in_perm=in_perm)
     comb = float(s_in) * sw * float(post_scale)
     b = np.asarray(bias, np.float64) * float(post_scale)
     if s_out is not None:
@@ -216,9 +245,9 @@ def _epi(y, sc_ref, b_ref, relu: bool):
 
 
 def _conv_kernel(x_ref, wm, wc, sc, b, out_ref, *, c, p, r_img, gpi, hh, ib,
-                 relu, out_dtype):
-    v = x_ref[...].reshape(ib * r_img, p * c)
-    y = _conv_once(v, c, wm, wc, r_img, gpi, hh)
+                 relu, out_dtype, fold=1):
+    v = x_ref[...].reshape(ib * r_img // fold, p * c)
+    y = _conv_once(v, c, wm, wc, r_img // fold, gpi, hh)
     out_ref[...] = _requant(_epi(y, sc, b, relu), out_dtype).reshape(
         out_ref.shape)
 
@@ -291,18 +320,26 @@ def _vec(a):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "p", "c", "c_out", "h", "w", "relu", "split", "out_dtype", "interpret"))
+    "p", "c", "c_out", "h", "w", "relu", "split", "out_dtype", "fold",
+    "interpret"))
 def conv_prow(x_rows, leaf: dict, p: int, c: int, c_out: int, h: int, w: int,
               relu: bool = True, residual=None, split: bool = False,
-              out_dtype=jnp.int8, interpret: bool = False):
+              out_dtype=jnp.int8, fold: int = 1, interpret: bool = False):
     """Exact p-row 3x3 conv, one custom call.
 
     x_rows (N, H*W/p, p*c) int8 -> (N, R, p*c_out) (or two half-row planes
     when split=True, for p*c_out > 128). leaf from prow_leaf; when
     `residual` is given, leaf must also hold 'res_sc' (1-vector f32) and the
-    epilogue adds residual*res_sc before requantization."""
+    epilogue adds residual*res_sc before requantization.
+
+    fold=k folds k consecutive input rows into lanes in the prologue
+    (x_rows lanes * k == p * c, p/c/leaf in FOLDED geometry): runs a conv
+    whose natural p*c_out would fall below 128 lanes at doubled p instead
+    (Mosaic rejects reshapes through sub-128-lane vectors, so narrow rows
+    never exist). Plain path only (no residual/split)."""
     n, r_img, lanes = x_rows.shape
-    assert lanes == p * c, (lanes, p, c)
+    assert lanes * fold == p * c, (lanes, fold, p, c)
+    assert fold == 1 or (residual is None and not split), "fold: plain only"
     gpi = w // p
     lanes_out = p * c_out
     ib = _pick_ib(n, r_img, lanes, lanes_out)
@@ -336,11 +373,12 @@ def conv_prow(x_rows, leaf: dict, p: int, c: int, c_out: int, h: int, w: int,
             interpret=interpret,
         )(x_rows, residual, *w_args, _vec(leaf["res_sc"]))
     return pl.pallas_call(
-        functools.partial(_conv_kernel, **common),
+        functools.partial(_conv_kernel, fold=fold, **common),
         grid=(n // ib,),
         in_specs=[_img_block(ib, r_img, lanes)] + w_specs,
-        out_specs=_img_block(ib, r_img, lanes_out),
-        out_shape=jax.ShapeDtypeStruct((n, r_img, lanes_out), out_dtype),
+        out_specs=_img_block(ib, r_img // fold, lanes_out),
+        out_shape=jax.ShapeDtypeStruct((n, r_img // fold, lanes_out),
+                                       out_dtype),
         interpret=interpret,
     )(x_rows, *w_args)
 
@@ -372,3 +410,296 @@ def conv_prow_dual(x_rows, z_rows, leafx: dict, leafz: dict, p: int, c: int,
         interpret=interpret,
     )(x_rows, z_rows, leafx["wm"], leafx["wc"], leafz["wm"], leafz["wc"],
       _vec(leafx["scale"]), _vec(leafz["scale"]), _vec(leafx["bias"]))
+
+
+# ------------------------- fused inter-level glue (pool / up2 / interleave)
+#
+# Round-3 profiling: with per-layer prow kernels the mid chain's remaining
+# cost was ~9 ms/iter of XLA relayout copies at every rows<->NHWC boundary
+# (pallas custom calls pin the default layout; a (R, 128) <-> (R*4, 32)
+# "free" reshape still changes the tile layout, so XLA materialises it).
+# The fix: inter-level glue runs INSIDE the kernels —
+# - 2x2 avg pool: an int8 lane matmul (pixel-pair sums per split half) +
+#   (R, L) <-> (R/k, k*L) row reshapes for the vertical pair sum (in-kernel
+#   reshapes on the row dim are register moves, verified on v5e);
+# - decoder skip concat: z arrives as the producer's two split half-planes
+#   and is interleaved in the prologue by one lane-concat + row reshape;
+# - align-corners bilinear x2: per-phase roll/fma passes (the same stencil
+#   decomposition as pallas/resize_phases, exact vs resize_matrix) fused
+#   into the producing conv's epilogue, emitting the consumer's rows form
+#   directly (e-major p-groups — see up2_perm).
+
+
+def _hpool_matrix(p: int, c: int) -> np.ndarray:
+    """(p/2*c, p/4*c) int8 summing matrix: adds horizontal pixel pairs of a
+    split half-plane, per channel."""
+    half = p // 2
+    m = np.zeros((half * c, (half // 2) * c), np.int8)
+    for s in range(half):
+        for ch in range(c):
+            m[s * c + ch, (s // 2) * c + ch] = 1
+    return m
+
+
+def _conv_split_pool_kernel(x_ref, wm, wc, sc, b, phm, psc, lo_ref, hi_ref,
+                            pool_ref, *, c, p, r_img, gpi, hh, ib, relu,
+                            out_dtype):
+    """Split conv + fused 2x2 avg pool: the two half-planes feed the decoder
+    skip; the pooled output (rows form of the next level, p/2 px of 2c ch at
+    half resolution) feeds the next DownBlock with zero XLA glue. The pool
+    matches models/pallas_serving._pool_quant_i8 exactly (int32 4-px sum of
+    the REQUANTIZED int8, one folded f32 rescale)."""
+    v = x_ref[...].reshape(ib * r_img, p * c)
+    y = _conv_once(v, c, wm, wc, r_img, gpi, hh)
+    yf = _epi(y, sc, b, relu)
+    half = yf.shape[1] // 2
+    qlo = _requant(yf[:, :half], out_dtype)
+    qhi = _requant(yf[:, half:], out_dtype)
+    lo_ref[...] = qlo.reshape(lo_ref.shape)
+    hi_ref[...] = qhi.reshape(hi_ref.shape)
+
+    dn = (((1,), (0,)), ((), ()))
+    hl = jax.lax.dot_general(qlo, phm[...], dn,
+                             preferred_element_type=jnp.int32)
+    hr = jax.lax.dot_general(qhi, phm[...], dn,
+                             preferred_element_type=jnp.int32)
+    acc = jnp.concatenate([hl, hr], axis=1)          # (R, 128): (out px, 2c)
+    rows = acc.shape[0]
+    acc = acc.reshape(rows // gpi, gpi * 128)        # whole image rows
+    acc = acc.reshape(rows // (2 * gpi), 2 * gpi * 128)
+    acc = acc[:, : gpi * 128] + acc[:, gpi * 128 :]  # vertical pair sum
+    acc = acc.reshape(rows // 2, 128)
+    pool_ref[...] = _requant(acc.astype(jnp.float32) * psc[0],
+                             jnp.int8).reshape(pool_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "c_out", "h", "w", "relu", "out_dtype", "interpret"))
+def conv_prow_split_pool(x_rows, leaf: dict, p: int, c: int, c_out: int,
+                         h: int, w: int, relu: bool = True,
+                         out_dtype=jnp.int8, interpret: bool = False):
+    """conv_prow(split=True) + fused 2x2 avg pool -> (lo, hi, pooled).
+
+    lo/hi: the split half-planes (N, H*W/p, p*c_out/2) at full resolution
+    (decoder skip inputs, consumed by conv_prow_dual's z_planes). pooled:
+    (N, H*W/(2p), p*c_out/2) int8 — the NEXT level's rows form (p/2 pixels
+    of c_out channels at H/2 x W/2). leaf needs 'pool_sc' (128-vec f32,
+    s_mid / (4 * s_next))."""
+    n, r_img, lanes = x_rows.shape
+    assert lanes == p * c, (lanes, p, c)
+    gpi = w // p
+    lanes_out = p * c_out
+    assert lanes_out == 256, lanes_out
+    ib = _pick_ib(n, r_img, lanes, lanes_out)
+    phm = jnp.asarray(_hpool_matrix(p, c_out))
+    return pl.pallas_call(
+        functools.partial(_conv_split_pool_kernel, c=c, p=p, r_img=r_img,
+                          gpi=gpi, hh=h, ib=ib, relu=relu,
+                          out_dtype=out_dtype),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes),
+                  _wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+                  _wspec((1, lanes_out)), _wspec((1, lanes_out)),
+                  _wspec(phm.shape), _wspec((1, 128))],
+        out_specs=(_img_block(ib, r_img, 128),
+                   _img_block(ib, r_img, 128),
+                   _img_block(ib, r_img // 2, 128)),
+        out_shape=(jax.ShapeDtypeStruct((n, r_img, 128), out_dtype),
+                   jax.ShapeDtypeStruct((n, r_img, 128), out_dtype),
+                   jax.ShapeDtypeStruct((n, r_img // 2, 128), jnp.int8)),
+        interpret=interpret,
+    )(x_rows, leaf["wm"], leaf["wc"], _vec(leaf["scale"]), _vec(leaf["bias"]),
+      phm, _vec(leaf["pool_sc"]))
+
+
+def _interleave_planes(lo, hi):
+    """Two (R, L) half-plane values -> (2R, L) rows alternating lo/hi (the
+    split-epilogue inverse): one lane concat + a row reshape."""
+    r, l = lo.shape
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * r, l)
+
+
+def _conv_dual_planes_kernel(x_ref, zlo_ref, zhi_ref, wmx, wcx, wmz, wcz,
+                             scx, scz, b, out_ref, *, c, p, r_img, gpi, hh,
+                             ib, relu, out_dtype):
+    vx = x_ref[...].reshape(ib * r_img, p * c)
+    zl = zlo_ref[...].reshape(ib * r_img // 2, p * c)
+    vz = _interleave_planes(zl, zhi_ref[...].reshape(zl.shape))
+    yx = _conv_once(vx, c, wmx, wcx, r_img, gpi, hh)
+    yz = _conv_once(vz, c, wmz, wcz, r_img, gpi, hh)
+    yf = (yx.astype(jnp.float32) * scx[0]
+          + yz.astype(jnp.float32) * scz[0] + b[0])
+    if relu:
+        yf = jnp.maximum(yf, 0.0)
+    out_ref[...] = _requant(yf, out_dtype).reshape(out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "c_out", "h", "w", "relu", "out_dtype", "interpret"))
+def conv_prow_dual_planes(x_rows, z_lo, z_hi, leafx: dict, leafz: dict,
+                          p: int, c: int, c_out: int, h: int, w: int,
+                          relu: bool = True, out_dtype=jnp.int8,
+                          interpret: bool = False):
+    """conv_prow_dual with the skip input as the producer's split
+    half-planes (conv_prow_split_pool's lo/hi), interleaved in the
+    prologue — the decoder consumes the encoder skips with no XLA hop."""
+    n, r_img, lanes = x_rows.shape
+    assert lanes == p * c, (lanes, p, c)
+    assert z_lo.shape == z_hi.shape == (n, r_img // 2, lanes)
+    gpi = w // p
+    lanes_out = p * c_out
+    assert lanes_out <= 128, lanes_out
+    ib = _pick_ib(n, r_img, 2 * lanes, lanes_out)
+    return pl.pallas_call(
+        functools.partial(_conv_dual_planes_kernel, c=c, p=p, r_img=r_img,
+                          gpi=gpi, hh=h, ib=ib, relu=relu,
+                          out_dtype=out_dtype),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes),
+                  _img_block(ib, r_img // 2, lanes),
+                  _img_block(ib, r_img // 2, lanes),
+                  _wspec(leafx["wm"].shape), _wspec(leafx["wc"].shape),
+                  _wspec(leafz["wm"].shape), _wspec(leafz["wc"].shape),
+                  _wspec((1, lanes_out)), _wspec((1, lanes_out)),
+                  _wspec((1, lanes_out))],
+        out_specs=_img_block(ib, r_img, lanes_out),
+        out_shape=jax.ShapeDtypeStruct((n, r_img, lanes_out), out_dtype),
+        interpret=interpret,
+    )(x_rows, z_lo, z_hi, leafx["wm"], leafx["wc"], leafz["wm"], leafz["wc"],
+      _vec(leafx["scale"]), _vec(leafz["scale"]), _vec(leafx["bias"]))
+
+
+def _conv_up2_kernel(x_ref, wm, wc, sc, b, rc_ref, cc_ref, inv_ref, out_ref,
+                     *, c, p, r_img, gpi, hh, ib, relu, deltas, c_out, p_out,
+                     fold):
+    """Conv + requant + fused align-corners bilinear x2, emitting the
+    consumer's rows form (p_out px at 2H x 2W, e-major groups: up2_perm).
+    Every intermediate keeps >= 128 lanes (Mosaic rejects reshapes through
+    narrower vectors), hence the fold prologue and the 64-lane-slice
+    group assembly."""
+    v = x_ref[...].reshape(ib * r_img // fold, p * c)
+    y = _conv_once(v, c, wm, wc, r_img // fold, gpi, hh)
+    q = _requant(_epi(y, sc, b, relu), jnp.int8)      # (R, p*c_out) >= 128
+    w_img = gpi * p
+    wcl = w_img * c_out
+    vv = q.reshape(ib * hh, wcl).astype(jnp.float32)
+
+    planes = []                                        # d-major, then e
+    for d in range(2):
+        r = None
+        for j, dd in enumerate(deltas):
+            coef = rc_ref[d, j]                        # (ib*hh, 1)
+            t = pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv
+            term = coef * t
+            r = term if r is None else r + term
+        for e in range(2):
+            yde = None
+            for j, dd in enumerate(deltas):
+                coef = cc_ref[e, j].reshape(1, wcl)
+                t = (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
+                     if dd else r)
+                term = coef * t
+                yde = term if yde is None else yde + term
+            planes.append(_requant(yde * inv_ref[0], jnp.int8))
+
+    def d_plane(q0, q1):
+        # rows (i, a): 128 lanes = TWO consecutive out-groups' e-parts
+        a0 = q0.reshape(ib * hh * wcl // 128, 128)
+        a1 = q1.reshape(a0.shape)
+        cat = jnp.concatenate(
+            [a0[:, :64], a1[:, :64], a0[:, 64:], a1[:, 64:]], axis=1)
+        return cat.reshape(2 * a0.shape[0], 128)       # rows (i, g_out)
+
+    c0, c1 = d_plane(planes[0], planes[1]), d_plane(planes[2], planes[3])
+    b0 = c0.reshape(ib * hh, 2 * wcl)
+    b1 = c1.reshape(ib * hh, 2 * wcl)
+    out = jnp.concatenate([b0, b1], axis=1).reshape(2 * ib * hh, 2 * wcl)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_deltas(h: int, w: int) -> tuple[int, ...]:
+    """Static tap-offset set of the x2 linear_ac stencil (deltas must be
+    compile-time constants; the traced leaf dict cannot carry them)."""
+    from sifsr_tpu.pallas.resize_phases import _coeff_arrays
+
+    rdeltas, _ = _coeff_arrays(h, 2, "linear_ac", 1, False)
+    cdeltas, _ = _coeff_arrays(w, 2, "linear_ac", 1, False)
+    return tuple(sorted(set(rdeltas) | set(cdeltas)))
+
+
+def up2_coeffs(h: int, w: int, c_out: int, s_mid: float, s_up: float):
+    """(deltas, rc (2, nd, h, 1), cc (2, nd, wc), inv) for the fused x2:
+    the resize_phases stencil decomposition with the int8 dequant (s_mid)
+    folded into the row pass; inv = 1/s_up is applied AFTER the column-pass
+    summation (matching upsample_phases' epilogue order bit-for-bit)."""
+    from sifsr_tpu.pallas.resize_phases import _coeff_arrays
+
+    rdeltas, rcoef = _coeff_arrays(h, 2, "linear_ac", c_out, False)
+    cdeltas, ccoef = _coeff_arrays(w, 2, "linear_ac", c_out, True)
+    deltas = _up2_deltas(h, w)
+
+    def expand(coeff, have, size):
+        full = np.zeros((2, len(deltas), size), np.float32)
+        for j, d in enumerate(have):
+            full[:, deltas.index(d)] = coeff[:, j]
+        return full
+
+    rc = expand(rcoef, rdeltas, h)[..., None] * float(s_mid)
+    cc = expand(ccoef, cdeltas, w * c_out)
+    inv = np.float32(1.0 / float(s_up))
+    return deltas, rc.astype(np.float32), cc.astype(np.float32), inv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "c_out", "p_out", "h", "w", "relu", "fold", "interpret"))
+def conv_prow_up2(x_rows, leaf: dict, p: int, c: int, c_out: int, p_out: int,
+                  h: int, w: int, relu: bool = True, fold: int = 1,
+                  interpret: bool = False):
+    """Exact p-row conv + fused align-corners bilinear x2 upsample.
+
+    Returns (N, 2H * 2W/p_out, p_out*c_out) int8 — the rows form of the
+    x2-upsampled requantized output at the consumer's p_out, with e-major
+    p-groups (absorb with pack_prow_weights(in_perm=up2_perm(p_out))).
+    leaf needs 'deltas'/'rc'/'cc' (from up2_coeffs) besides the conv
+    weights; the conv epilogue requantizes at the mid scale (exactly the
+    standalone conv_prow), and the upsample dequant/requant scales are
+    folded into rc/cc.
+
+    fold=k folds k consecutive input rows into lanes in the prologue
+    (x_rows lanes * k == p * c): used to run a conv whose natural
+    p*c_out would be 64 lanes at doubled p instead, keeping every
+    intermediate at >= 128 lanes. p/c/p_out/h/w and the leaf all refer to
+    the FOLDED geometry."""
+    n, r_img, lanes = x_rows.shape
+    assert lanes * fold == p * c, (lanes, fold, p, c)
+    gpi = w // p
+    lanes_out = p * c_out
+    assert lanes_out == 128, lanes_out
+    assert (p_out // 2) * c_out == 64, (p_out, c_out)
+    gpi_out = (2 * w) // p_out
+    r_out = 2 * h * gpi_out
+    deltas = _up2_deltas(h, w)
+    nd = len(deltas)
+    # the x2 planes (4x f32 (h, w*c_out)) dominate the footprint
+    per_img = r_img * (9 * lanes + 12 * lanes_out) + 20 * h * w * c_out
+    ib = max(1, min(8, (8 * 2**20) // max(per_img, 1)))
+    while n % ib:
+        ib -= 1
+    rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
+    return pl.pallas_call(
+        functools.partial(_conv_up2_kernel, c=c, p=p, r_img=r_img, gpi=gpi,
+                          hh=h, ib=ib, relu=relu, deltas=deltas,
+                          c_out=c_out, p_out=p_out, fold=fold),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes),
+                  _wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+                  _wspec((1, lanes_out)), _wspec((1, lanes_out)),
+                  _wspec((2, nd, ib * h, 1)),
+                  _wspec((2, nd, w * c_out)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=_img_block(ib, r_out, p_out * c_out),
+        out_shape=jax.ShapeDtypeStruct((n, r_out, p_out * c_out), jnp.int8),
+        interpret=interpret,
+    )(x_rows, leaf["wm"], leaf["wc"], _vec(leaf["scale"]), _vec(leaf["bias"]),
+      rc, jnp.asarray(leaf["cc"]), jnp.asarray(leaf["inv"]).reshape(1))

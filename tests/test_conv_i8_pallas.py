@@ -15,6 +15,8 @@ from sifsr_tpu.models.packed import _replicate_pad_packed
 from sifsr_tpu.pallas.conv_i8 import (
     conv_i8_exact,
     conv_i8_exact_dual,
+    conv_i8_in1,
+    pack_in1_weights,
     pack_row_tap_weights,
 )
 
@@ -73,6 +75,29 @@ def test_conv_i8_exact_phase_mean(rng):
     pm_ref = np.mean(y.reshape(2, hp, wp, 4, 16).astype(np.float32),
                      axis=3) * s_out
     np.testing.assert_allclose(pm, pm_ref, atol=1e-5, rtol=1e-6)
+
+
+@pytest.mark.parametrize("h,w", [(16, 32), (8, 16)])
+def test_conv_i8_in1(rng, h, w):
+    """The in-kernel tap-stacked 8->64 front conv must equal the padded XLA
+    int32 reference everywhere (borders, corners, group seams)."""
+    x = rng.integers(-127, 128, (2, h, w, 8)).astype(np.int8)
+    q1 = rng.integers(-20, 21, (3, 3, 8, 64)).astype(np.int8)
+    s_in = 0.03
+    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
+    bias = rng.normal(size=64).astype(np.float32)
+
+    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 2))
+    y_ref = _ref_conv(xpad, q1, s_in * s_w, bias)
+
+    w432 = pack_in1_weights(q1)
+    comb = (s_in * s_w).astype(np.float32)
+    y = conv_i8_in1(jnp.asarray(x), jnp.asarray(w432),
+                    jnp.asarray(np.tile(comb, 16)),
+                    jnp.asarray(np.tile(bias, 16).astype(np.float32)),
+                    h, w, relu=True, out_dtype=jnp.float32, interpret=True)
+    y = np.asarray(y).reshape(2, h, w, 64)
+    np.testing.assert_allclose(y, y_ref, atol=1e-4, rtol=1e-5)
 
 
 def test_conv_i8_exact_dual(rng):

@@ -16,11 +16,16 @@ from jax import lax
 from sifsr_tpu.pallas.conv_px import (
     conv_prow,
     conv_prow_dual,
+    conv_prow_dual_planes,
+    conv_prow_split_pool,
+    conv_prow_up2,
     nhwc_to_rows,
     pack_prow_weights,
     planes_to_nhwc,
     prow_leaf,
     rows_to_nhwc,
+    up2_coeffs,
+    up2_perm,
 )
 
 
@@ -133,6 +138,98 @@ def test_conv_prow_dual_exact(rng):
           + _ref_conv_i32(z_q, qz).astype(jnp.float32) * np.asarray(leafz["scale"])[:c_out]
           + np.asarray(leafx["bias"])[:c_out])
     want = _requant(jnp.maximum(yf, 0.0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("p,c,c_out,h,w", [(8, 16, 32, 16, 32),
+                                           (4, 32, 64, 8, 16)])
+def test_conv_prow_split_pool_exact(rng, p, c, c_out, h, w):
+    """Split conv + fused 2x2 pool: lo/hi match the split kernel; pooled
+    matches _pool_quant_i8 on the interleaved NHWC output, emitted in the
+    next level's rows form."""
+    from sifsr_tpu.models.pallas_serving import _pool_quant_i8
+
+    s_out, s_next = 0.09, 0.06
+    x_q, k, bias = _rand_case(rng, 2, h, w, c, c_out)
+    leaf = prow_leaf(k, bias, p, s_in=0.13, s_out=s_out)
+    leaf["pool_sc"] = jnp.full((128,), np.float32(s_out / (4 * s_next)))
+    lo, hi, pooled = conv_prow_split_pool(nhwc_to_rows(x_q, p), leaf, p, c,
+                                          c_out, h, w, interpret=True)
+    got_full = planes_to_nhwc(lo, hi, h, w, p, c_out)
+
+    q, _ = _quant_ref(k)
+    want = _requant(_ref_epilogue(_ref_conv_i32(x_q, q), leaf, c_out))
+    np.testing.assert_array_equal(np.asarray(got_full), np.asarray(want))
+
+    want_pool = _pool_quant_i8(want, s_out, s_next)
+    got_pool = np.asarray(pooled).reshape(2, h // 2, w // 2, c_out)
+    np.testing.assert_array_equal(got_pool, np.asarray(want_pool))
+
+
+def test_conv_prow_dual_planes_exact(rng):
+    """The planes-z prologue interleave equals conv_prow_dual on the
+    interleaved rows."""
+    p, c, c_out, h, w = 4, 32, 32, 8, 16
+    x_q, kx, bias = _rand_case(rng, 2, h, w, c, c_out)
+    z_q, kz, _ = _rand_case(rng, 2, h, w, c, c_out)
+    leafx = prow_leaf(kx, bias, p, s_in=0.1, s_out=0.05)
+    leafz = prow_leaf(kz, np.zeros_like(bias), p, s_in=0.21, s_out=0.05)
+    want = conv_prow_dual(nhwc_to_rows(x_q, p), nhwc_to_rows(z_q, p),
+                          leafx, leafz, p, c, c_out, h, w, interpret=True)
+
+    # producer planes: lo/hi are alternate CONSUMER groups (the producer's
+    # split halves at doubled p), full 128-lane rows each
+    z6 = np.asarray(z_q).reshape(2, h, w // (2 * p), 2, p * c)
+    z_lo = jnp.asarray(z6[:, :, :, 0].reshape(2, h * w // (2 * p), p * c))
+    z_hi = jnp.asarray(z6[:, :, :, 1].reshape(2, h * w // (2 * p), p * c))
+    got = conv_prow_dual_planes(nhwc_to_rows(x_q, p), z_lo, z_hi,
+                                leafx, leafz, p, c, c_out, h, w,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("p,c,c_out,p_out,h,w,fold", [
+    (2, 64, 64, 2, 8, 16, 1),      # db3.last-like
+    (4, 64, 32, 4, 8, 16, 2),      # ub1.conv2-like (folded input rows)
+])
+def test_conv_prow_up2_exact(rng, p, c, c_out, p_out, h, w, fold):
+    """Conv + fused align-corners x2: bit-identical to conv_prow followed
+    by the pallas phase upsample (resize_phases), after undoing the e-major
+    group permutation."""
+    from sifsr_tpu.pallas.resize_phases import phases_to_nhwc, upsample_phases
+
+    s_mid, s_up = 0.12, 0.2
+    x_q, k, bias = _rand_case(rng, 2, h, w, c, c_out)
+    leaf = prow_leaf(k, bias, p, s_in=0.17, s_out=s_mid)
+    _, rc, cc, inv = up2_coeffs(h, w, c_out, s_mid, s_up)
+    leaf.update(rc=jnp.asarray(rc), cc=jnp.asarray(cc), inv=jnp.asarray(inv))
+
+    x_rows = nhwc_to_rows(x_q, p // fold)              # producer layout
+    got = conv_prow_up2(x_rows, leaf, p, c, c_out, p_out, h, w, fold=fold,
+                        interpret=True)
+
+    qk, _ = _quant_ref(k)
+    mid_nhwc = _requant(_ref_epilogue(_ref_conv_i32(x_q, qk), leaf, c_out))
+    up = upsample_phases(mid_nhwc, 2, "linear_ac", out_dtype=jnp.int8,
+                         scale=s_up, in_scale=s_mid, interpret=True)
+    want = np.asarray(phases_to_nhwc(up))              # (2, 2h, 2w, c_out)
+
+    inv_perm = np.argsort(np.asarray(up2_perm(p_out)))
+    got = np.asarray(got).reshape(2, 2 * h, (2 * w) // p_out, p_out, c_out)
+    got = got[:, :, :, inv_perm, :].reshape(2, 2 * h, 2 * w, c_out)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_conv_prow_fold_exact(rng):
+    """fold=2 (doubled-p plain conv) equals the unfolded conv."""
+    p, c, c_out, h, w = 8, 32, 16, 8, 16
+    x_q, k, bias = _rand_case(rng, 2, h, w, c, c_out)
+    leaf = prow_leaf(k, bias, p, s_in=0.11, s_out=0.07)
+    rows4 = nhwc_to_rows(x_q, p // 2)                  # the producer's p=4
+    got = conv_prow(rows4, leaf, p, c, c_out, h, w, fold=2, interpret=True)
+    got = rows_to_nhwc(got, h, w, c_out)
+    q, _ = _quant_ref(k)
+    want = _requant(_ref_epilogue(_ref_conv_i32(x_q, q), leaf, c_out))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 

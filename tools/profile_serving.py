@@ -26,7 +26,8 @@ def main():
     parser = ArgumentParser(description=__doc__)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--path", default="bn_folded",
-                        choices=["bn_folded", "s2d_packed", "int8", "pallas"])
+                        choices=["bn_folded", "s2d_packed", "int8", "pallas",
+                                 "pallas_prow"])
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--trace-dir", default="/tmp/sifsr_trace")
     parser.add_argument("--top", type=int, default=20)
@@ -59,12 +60,13 @@ def main():
         params = calibrate_activation_scales(
             variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats)
         step = make_int8_sr_step(stats)
-    elif args.path == "pallas":
+    elif args.path in ("pallas", "pallas_prow"):
         from sifsr_tpu.models.pallas_serving import (
             build_pallas_serving_params, make_pallas_sr_step)
 
         params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
-        step = make_pallas_sr_step(stats)
+        step = make_pallas_sr_step(
+            stats, mid="prow" if args.path == "pallas_prow" else "xla")
     else:
         from sifsr_tpu.models.packed import make_packed_sr_step, pack_serving_params
 
