@@ -319,6 +319,8 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp):
         conv2 = prow_leaf(k2, b2, 2 * p, s_c2, s_out)
         if name == "ub1":                           # fused x2 upsample
             attach_up2(conv2, hp // 2, hp // 2, 32, s["m_u1"], s["m_upu1"])
+        else:                                       # ub2: the serving tail
+            attach_up2(conv2, hp, hp, 16, s["m_u2"], s["up"])
         return {"conv1x": conv1x, "conv1z": conv1z, "conv2": conv2}
 
     return {
@@ -362,9 +364,7 @@ def _prow_mid(pmid, pm_rows, hp: int, interpret: bool):
     epilogues, skip concats read the split half-planes directly."""
     from sifsr_tpu.pallas.conv_px import (
         conv_prow, conv_prow_dual_planes, conv_prow_split_pool,
-        conv_prow_up2)
-
-    sc = pmid["s"]
+        conv_prow_up2, conv_prow_up2_pack)
 
     def down(name, x, p, c, h):
         tree = pmid[name]
@@ -396,9 +396,10 @@ def _prow_mid(pmid, pm_rows, hp: int, interpret: bool):
     u2a = conv_prow_dual_planes(upu1, s1lo, s1hi, ub2["conv1x"],
                                 ub2["conv1z"], 4, 32, 32, hp, hp,
                                 interpret=interpret)
-    u2 = conv_prow(u2a, ub2["conv2"], 8, 32, 16, hp, hp, fold=2,
-                   interpret=interpret)                  # (N, hp*hp/8, 128)
-    return u2, sc["m_u2"]
+    # the serving tail: ub2.conv2 + the final x2 + packing to the
+    # 256²-level pair rows, one custom call (N, hp*hp/2, 128) at up scale
+    return conv_prow_up2_pack(u2a, ub2["conv2"], 8, 32, hp, fold=2,
+                              interpret=interpret)
 
 
 def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
@@ -423,13 +424,9 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def _finish(params, y6, s0p, n, hp, wb):
-        """Shared tail: phase-separated x2 output -> ub3 dual conv ->
-        ub3.conv2 -> outlay + exact border strips -> Kelvin SR."""
-        # one explicit 7D transpose straight to pair-rows packed form
-        # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
-        up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
-            0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
+    def _finish(params, up_q, s0p, n, hp, wb):
+        """Shared tail: packed x2 output (pair-row lane order) -> ub3 dual
+        conv -> ub3.conv2 -> outlay + exact border strips -> Kelvin SR."""
         d = params["u31"]
         u31 = conv_i8_exact_dual(up_q, s0p,
                                  d["wm_x"], d["wc_x"], d["wm_z"], d["wc_z"],
@@ -513,12 +510,9 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
                                 interpret=interpret)
 
         if use_prow:
-            u2_rows, s_u2 = _prow_mid(params["pmid"], pm, hp, interpret)
-            u2 = u2_rows.reshape(n, hp, hp, 16)
-            y6 = upsample_phases(u2, 2, "linear_ac", out_dtype=jnp.int8,
-                                 scale=s["up"], in_scale=s_u2,
-                                 interpret=interpret)
-            return _finish(params, y6, s0p, n, hp, wb)
+            up_q = _prow_mid(params["pmid"], pm, hp, interpret)
+            return _finish(params, up_q.reshape(n, hp, hp, 64), s0p,
+                           n, hp, wb)
         pm = pm.reshape(n, hp, hp, 16)
 
         def mid_conv_prequant(x_q, s_x, leaf, relu=True):
@@ -550,7 +544,11 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         # variant measured a wash (round-2 profile).
         y6 = upsample_phases(t, 2, "linear_ac", out_dtype=jnp.int8,
                              scale=s["up"], interpret=interpret)
-        return _finish(params, y6, s0p, n, hp, wb)
+        # one explicit 7D transpose straight to pair-rows packed form
+        # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
+        up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
+            0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
+        return _finish(params, up_q, s0p, n, hp, wb)
 
     if mesh is None:
         return sr_step

@@ -55,6 +55,7 @@ __all__ = [
     "conv_prow_dual_planes",
     "conv_prow_split_pool",
     "conv_prow_up2",
+    "conv_prow_up2_pack",
     "up2_coeffs",
     "up2_perm",
     "nhwc_to_rows",
@@ -649,6 +650,106 @@ def up2_coeffs(h: int, w: int, c_out: int, s_mid: float, s_up: float):
     cc = expand(ccoef, cdeltas, w * c_out)
     inv = np.float32(1.0 / float(s_up))
     return deltas, rc.astype(np.float32), cc.astype(np.float32), inv
+
+
+def _pack_pairrow_matrix() -> np.ndarray:
+    """(512, 512) int8 permutation: 4 lane-concatenated x2-phase plane
+    chunks [(q, r) plane: 8 px x 16 ch] -> 4 packed pair-rows' lanes
+    (pair, px, q, r, ch) — the (R, 512) -> (4R, 128) reshape after this
+    matmul yields conv_i8_exact's pair-row input form directly."""
+    m = np.zeros((512, 512), np.int8)
+    for q in range(2):
+        for r in range(2):
+            for px in range(8):
+                for ch in range(16):
+                    src = ((q * 2 + r) * 8 + px) * 16 + ch
+                    dst = ((px // 2) * 128 + (px % 2) * 64
+                           + q * 32 + r * 16 + ch)
+                    m[src, dst] = 1
+    return m
+
+
+def _conv_up2_pack_kernel(x_ref, wm, wc, sc, b, rc_ref, cc_ref, inv_ref,
+                          pk_ref, out_ref, *, c, p, r_img, gpi, hh, ib, relu,
+                          deltas, c_out, fold):
+    """ub2.conv2 + the FINAL x2 linear_ac upsample + space-to-depth packing
+    to 256²-level pair rows (the serving tail): the four x2 phase planes
+    (q, r) are the packed cell, so packing is a fixed lane permutation
+    (one int8 matmul) + row reshapes — no XLA transpose."""
+    v = x_ref[...].reshape(ib * r_img // fold, p * c)
+    y = _conv_once(v, c, wm, wc, r_img // fold, gpi, hh)
+    q = _requant(_epi(y, sc, b, relu), jnp.int8)
+    w_img = gpi * p
+    wcl = w_img * c_out
+    vv = q.reshape(ib * hh, wcl).astype(jnp.float32)
+
+    planes = []                                        # (q=d, r=e) order
+    for d in range(2):
+        r = None
+        for j, dd in enumerate(deltas):
+            coef = rc_ref[d, j]
+            t = pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv
+            term = coef * t
+            r = term if r is None else r + term
+        for e in range(2):
+            yde = None
+            for j, dd in enumerate(deltas):
+                coef = cc_ref[e, j].reshape(1, wcl)
+                t = (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
+                     if dd else r)
+                term = coef * t
+                yde = term if yde is None else yde + term
+            # (ib*hh, wcl) -> (ib*hh*wcl/128, 128): rows (i, jb) of 8 px
+            planes.append(_requant(yde * inv_ref[0], jnp.int8)
+                          .reshape(ib * hh * wcl // 128, 128))
+
+    cat = jnp.concatenate(planes, axis=1)              # (R2, 512)
+    pp = jax.lax.dot_general(cat, pk_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32).astype(jnp.int8)
+    out_ref[...] = pp.reshape(4 * pp.shape[0], 128).reshape(out_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "p", "c", "h", "relu", "fold", "interpret"))
+def conv_prow_up2_pack(x_rows, leaf: dict, p: int, c: int, h: int,
+                       relu: bool = True, fold: int = 2,
+                       interpret: bool = False):
+    """The serving tail in one custom call: conv (c->16 at h², folded p) +
+    fused align-corners x2 to (2h)² + space-to-depth packing -> the
+    256²-level packed pair rows (N, h*h/2, 128) int8, lanes (px, q, r, ch)
+    — conv_i8_exact_dual's x input form, at the up scale (leaf rc/cc/inv
+    from up2_coeffs(h, h, 16, s_mid, s_up))."""
+    n, r_img, lanes = x_rows.shape
+    c_out = 16
+    assert lanes * fold == p * c, (lanes, fold, p, c)
+    gpi = h // p
+    deltas = _up2_deltas(h, h)
+    nd = len(deltas)
+    wcl = h * c_out
+    per_img = r_img * (9 * lanes + 12 * 128) + 24 * h * wcl
+    ib = max(1, min(8, (8 * 2**20) // max(per_img, 1)))
+    while n % ib:
+        ib -= 1
+    rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
+    r_out = h * (h // 2)
+    return pl.pallas_call(
+        functools.partial(_conv_up2_pack_kernel, c=c, p=p, r_img=r_img,
+                          gpi=gpi, hh=h, ib=ib, relu=relu, deltas=deltas,
+                          c_out=c_out, fold=fold),
+        grid=(n // ib,),
+        in_specs=[_img_block(ib, r_img, lanes),
+                  _wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+                  _wspec((1, p * c_out)), _wspec((1, p * c_out)),
+                  _wspec((2, nd, ib * h, 1)),
+                  _wspec((2, nd, wcl)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  _wspec((512, 512))],
+        out_specs=_img_block(ib, r_out, 128),
+        out_shape=jax.ShapeDtypeStruct((n, r_out, 128), jnp.int8),
+        interpret=interpret,
+    )(x_rows, leaf["wm"], leaf["wc"], _vec(leaf["scale"]), _vec(leaf["bias"]),
+      rc, jnp.asarray(leaf["cc"]), jnp.asarray(leaf["inv"]).reshape(1),
+      jnp.asarray(_pack_pairrow_matrix()))
 
 
 @functools.partial(jax.jit, static_argnames=(
