@@ -66,6 +66,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=324)
     parser.add_argument("--overlap", type=int, default=0,
                         help="coarse-pixel tile overlap for seamless blending (0 = reference behaviour)")
+    parser.add_argument("--device-tiling", action="store_true",
+                        help="tile + mosaic on device (one upload/download; "
+                             "fastest when the host<->device link is slow)")
     parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
     parser.add_argument("--int8", action="store_true",
                         help="int8 quantized serving (~1.4x faster, ~0.07 K RMSE vs f32)")
@@ -138,13 +141,14 @@ def main(argv=None):
             variables, lst, ndvi, stats,
             batch_size=args.batch_size, overlap=args.overlap,
             coverage=0.0, sr_step=step, step_params=qparams,
+            device_tiling=args.device_tiling,
         )
     else:
         mosaic = predict_granule(
             variables, lst, ndvi, stats, model=model,
             batch_size=args.batch_size,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-            overlap=args.overlap,
+            overlap=args.overlap, device_tiling=args.device_tiling,
         )
 
     os.makedirs(args.save_path, exist_ok=True)

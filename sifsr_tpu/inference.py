@@ -129,6 +129,7 @@ def predict_granule(
     sr_step=None,
     step_params=None,
     pipeline_depth: int = 3,
+    device_tiling: bool = False,
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -156,6 +157,13 @@ def predict_granule(
     batch i overlap device compute of batches i+1..i+depth — the whole-
     granule wall stays close to the device-only throughput (vs the
     reference's fully synchronous 324 batch-1 round trips, predict.py:84-103).
+
+    device_tiling (overlap == 0 only): tile extraction, batching and mosaic
+    assembly all run ON DEVICE inside one jit — the granule is uploaded once
+    and the mosaic downloaded once (two bulk transfers instead of
+    2·n_batches round trips). The right choice whenever the host<->device
+    link is the bottleneck; the host pipeline remains for mesh sharding,
+    overlap blending, and granules larger than device memory.
     """
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
@@ -205,6 +213,40 @@ def predict_granule(
                 drain()
         while pending:
             drain()
+
+    if overlap == 0 and device_tiling:
+        gh = lst_granule.shape[0] // window
+        gw = lst_granule.shape[1] // window
+        nt = gh * gw
+        bs = min(batch_size, nt)
+        k = -(-nt // bs)
+        pad = k * bs - nt
+
+        @jax.jit
+        def run_device(lst_g, ndvi_g, params):
+            lst_t = (lst_g[: gh * window, : gw * window]
+                     .reshape(gh, window, gw, window)
+                     .transpose(0, 2, 1, 3).reshape(nt, window, window))
+            ndvi_t = (ndvi_g[: gh * fwin, : gw * fwin]
+                      .reshape(gh, fwin, gw, fwin)
+                      .transpose(0, 2, 1, 3).reshape(nt, fwin, fwin))
+            keep = (lst_t == 0.0).mean(axis=(1, 2)) <= coverage
+            if pad:
+                lst_t = jnp.concatenate(
+                    [lst_t, jnp.zeros((pad, window, window), lst_t.dtype)])
+                ndvi_t = jnp.concatenate(
+                    [ndvi_t, jnp.zeros((pad, fwin, fwin), ndvi_t.dtype)])
+            sr = jax.lax.map(
+                lambda ab: sr_step(params, ab[0], ab[1]),
+                (lst_t.reshape(k, bs, window, window),
+                 ndvi_t.reshape(k, bs, fwin, fwin)))
+            sr = sr.reshape(k * bs, fwin, fwin)[:nt]
+            sr = jnp.where(keep[:, None, None], sr, 0.0)
+            return (sr.reshape(gh, gw, fwin, fwin)
+                    .transpose(0, 2, 1, 3).reshape(gh * fwin, gw * fwin))
+
+        return np.asarray(run_device(jnp.asarray(lst_granule),
+                                     jnp.asarray(ndvi_granule), step_params))
 
     if overlap == 0:
         lst_blocks, ndvi_blocks, grid = tile_granule(lst_granule, ndvi_granule, window, factor)

@@ -55,7 +55,8 @@ from sifsr_tpu.models.quantized import _quantize_kernel
 from sifsr_tpu.pallas.conv_i8 import (
     conv_i8_exact,
     conv_i8_exact_dual,
-    conv_i8_in1,
+    conv_i8_in1_split,
+    in1_split_weights,
     pack_in1_weights,
     pack_row_tap_weights,
 )
@@ -179,7 +180,7 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     q1, sw1 = _quantize_kernel(np.asarray(w1))
     comb1 = s["in1"] * sw1 / s["in2"]
     in1 = {
-        "w432": jnp.asarray(pack_in1_weights(q1)),
+        "w432": jnp.asarray(in1_split_weights(pack_in1_weights(q1))),
         "scale": jnp.asarray(np.tile(comb1, 16).astype(np.float32)),
         "bias": jnp.asarray(np.tile(np.asarray(b1, np.float64) / s["in2"], 16)
                             .astype(np.float32)),
@@ -434,18 +435,23 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
                                  hp, hp, interpret=interpret)
         u2 = params["u32"]
         olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
-                            hp, hp, interpret=interpret)
+                            hp, hp, slab=hp, interpret=interpret)
 
         # outlay (XLA int8, input already quantized at the ol scale):
         # zero-padded conv (pad folded into the conv op, no materialised
         # replicate-pad copy) + exact replicate-pad border strips pasted
-        # into the final SR — the wrong ring is 1 packed px (2 fine px)
+        # into the final SR — the wrong ring is 1 packed px (2 fine px).
+        # The Kelvin de-normalise folds linearly into the dequant epilogue
+        # (scale*std, bias*std+mean) — a separate full-tensor multiply_add
+        # pass profiled at ~0.5 ms/iter at batch 256.
         ol = params["ol"]
+        ol_sc = ol["in_scale"] * ol["scale"] * stats.std_lst
+        ol_b = ol["bias"] * stats.std_lst + stats.mean_lst
         yol = lax.conv_general_dilated(
             olp, ol["q"], (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
+        ).astype(jnp.float32) * ol_sc + ol_b
         sr = _depth_to_space(yol, 1)[..., 0]
 
         def strip(part, take_h, take_w):
@@ -456,7 +462,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
                 _replicate_pad_packed(part, 16), ol["q"], (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * (ol["in_scale"] * ol["scale"]) + ol["bias"]
+            ).astype(jnp.float32) * ol_sc + ol_b
             return _depth_to_space(y[:, take_h, take_w], 1)[..., 0]
 
         all_ = slice(None)
@@ -464,7 +470,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         sr = sr.at[:, -2:, :].set(strip(olp[:, -2:], slice(1, 2), all_))
         sr = sr.at[:, :, :2].set(strip(olp[:, :, 0:2], all_, slice(0, 1)))
         sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
-        return sr * stats.std_lst + stats.mean_lst
+        return sr
 
     @jax.jit
     def sr_step(params, lst_blocks, ndvi_blocks):
@@ -484,17 +490,17 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
             scale=in1["in_scale"], interpret=interpret))     # (N,hp,hp,4) i8
         ndvi_q = _quant(_space_to_depth(ndvi_n[..., None]), in1["in_scale"])
 
-        # inbloc.conv1 (in-kernel tap stack, conv_i8_in1): the 3x3 packed
-        # neighbourhood is assembled in-register from 16-px rows (row shifts
-        # + pad permutation matmuls), so the layer reads the 8-ch input once
-        # in one custom call — the round-2 prestacked form spent ~5.9 ms/iter
-        # of XLA concat+relayout building the x144 tensor. Output is already
-        # pixel-pair rows, feeding inbloc.conv2 pallas-to-pallas.
-        xq = jnp.concatenate([lst_q.reshape(n, hp, hp, 4, 1),
-                              ndvi_q.reshape(n, hp, hp, 4, 1)],
-                             -1).reshape(n, hp, hp, 8)
-        s1q = conv_i8_in1(xq, in1["w432"], in1["scale"], in1["bias"],
-                          hp, hp, interpret=interpret).reshape(n, hp, hp, 64)
+        # inbloc.conv1 (in-kernel tap stack, conv_i8_in1_split): the 3x3
+        # packed neighbourhood is assembled in-register from 16-px rows (row
+        # shifts + pad permutation matmuls), and the lst/ndvi sources stay
+        # SEPARATE refs K-concatenated in-register — the round-2 prestacked
+        # form spent ~5.9 ms/iter of XLA concat+relayout building the x144
+        # tensor, and the interleaved single-ref form still paid ~0.5 ms of
+        # channel-interleave reshapes. Output is already pixel-pair rows,
+        # feeding inbloc.conv2 pallas-to-pallas.
+        s1q = conv_i8_in1_split(lst_q, ndvi_q, in1["w432"], in1["scale"],
+                                in1["bias"], hp, hp,
+                                interpret=interpret).reshape(n, hp, hp, 64)
 
         # inbloc.conv2 (exact pallas, one custom call) -> s0p int8 at the s0
         # scale + the mid-chain phase mean fused as a second output, emitted
@@ -507,7 +513,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
                                 in2["bias"], hp, hp,
                                 phase_mean=s["s0"] / s_db1,
                                 pm_dtype=jnp.int8, pm_rows=use_prow,
-                                interpret=interpret)
+                                slab=hp, interpret=interpret)
 
         if use_prow:
             up_q = _prow_mid(params["pmid"], pm, hp, interpret)

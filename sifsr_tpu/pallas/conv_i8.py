@@ -54,6 +54,9 @@ __all__ = [
     "conv_i8_exact_dual",
     "conv_i8_prestacked",
     "conv_i8_in1",
+    "conv_i8_in1_split",
+    "in1_split_weights",
+    "in1_pad_matrices_split",
     "pack_in1_weights",
     "in1_pad_matrices",
 ]
@@ -324,12 +327,13 @@ def _perm_consts(dtype=jnp.int8):
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "wp", "relu", "out_dtype", "pm_dtype", "pm_rows",
-                     "interpret"),
+                     "slab", "interpret"),
 )
 def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
                   relu: bool = True, out_dtype=jnp.int8,
                   phase_mean=None, pm_dtype=jnp.float32,
-                  pm_rows: bool = False, interpret: bool = False):
+                  pm_rows: bool = False, slab: int | None = None,
+                  interpret: bool = False):
     """Exact packed-domain 3x3 conv 64->64 in one custom call.
 
     x_packed: (N, hp, wp, 64) int8, UNPADDED; returns (N, hp, wp, 64)
@@ -340,8 +344,8 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
     (N, hp, wp/2, 32) for the XLA-mid consumers."""
     n = x_packed.shape[0]
     wb = wp // 2
-    slab = _exact_slab(hp)
-    assert hp % slab == 0 and wb % 8 == 0, (hp, wp)
+    slab = slab or _exact_slab(hp)   # whole-image (hp) measures ~8% faster
+    assert hp % slab == 0 and wb % 8 == 0, (hp, wp)   # where VMEM allows
     x_rows = x_packed.reshape(n, hp * wb, 128)
     img, w, vec, perm, out = _exact_specs(n, hp, wb, slab)
     pf, pt, pb = _perm_consts()
@@ -569,6 +573,135 @@ def conv_i8_in1(xq, w432, scale, bias, h: int, w: int, relu: bool = True,
     )(x_rows, w432, scale.reshape(1, 1024), bias.reshape(1, 1024),
       jnp.asarray(pt), jnp.asarray(pb), jnp.asarray(pe))
     return y
+
+
+def in1_pad_matrices_split() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad matrices for conv_i8_in1_split's half-split row lane order
+    [lst (px, q, r) 64 | ndvi (px, q, r) 64]: P_top/P_bot (128, 128)
+    block-diagonal phase permutations, P_edge (128, 16) emitting
+    [left-pad px (c, q, r) 8 | right-pad px 8]."""
+    pt = np.zeros((128, 128), np.int8)
+    pb = np.zeros((128, 128), np.int8)
+    pe = np.zeros((128, 16), np.int8)
+    for c in range(2):
+        o = c * 64
+        for px in range(16):
+            for q in range(2):
+                for r in range(2):
+                    dst = o + px * 4 + q * 2 + r
+                    pt[o + px * 4 + 0 * 2 + r, dst] = 1
+                    pb[o + px * 4 + 1 * 2 + r, dst] = 1
+        for q in range(2):
+            for r in range(2):
+                pe[o + 0 * 4 + q * 2 + 0, c * 4 + q * 2 + r] = 1      # left
+                pe[o + 15 * 4 + q * 2 + 1, 8 + c * 4 + q * 2 + r] = 1  # right
+    return pt, pb, pe
+
+
+def in1_split_weights(w432: np.ndarray) -> np.ndarray:
+    """Row-permute pack_in1_weights output for the split-source K order:
+    tap rows (dh, px, qr*2+c) -> (dh, c, px, qr); composite rows
+    (dh, side, qr*2+c) -> (dh, side, c, qr)."""
+    w432 = np.asarray(w432)
+    perm = np.zeros(432, np.int64)
+    for dh in range(3):
+        for p in range(16):
+            for ch8 in range(8):
+                qr, c = ch8 // 2, ch8 % 2
+                perm[dh * 128 + c * 64 + p * 4 + qr] = dh * 128 + p * 8 + ch8
+        for side in range(2):
+            for ch8 in range(8):
+                qr, c = ch8 // 2, ch8 % 2
+                perm[384 + dh * 16 + side * 8 + c * 4 + qr] = (
+                    384 + dh * 16 + side * 8 + ch8)
+    return w432[perm]
+
+
+def _in1_kernel_split(l_ref, nd_ref, w_ref, sc_ref, b_ref, pt_ref, pb_ref,
+                      pe_ref, out_ref, *, gpi, h, relu, out_dtype):
+    from sifsr_tpu.pallas.conv_px import _shift_rows
+
+    # one lane concat -> the rest of the assembly runs single-width on the
+    # half-split 128-lane rows (a first attempt that kept the halves
+    # separate doubled every shift/perm op and measured ~0.7 ms/iter SLOWER
+    # than the XLA-interleaved single-ref form at batch 256)
+    v = jnp.concatenate([l_ref[0], nd_ref[0]], axis=1)   # (R, 128)
+    rows = v.shape[0]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    gidx, iidx = rr % gpi, rr // gpi
+
+    top = jnp.where(iidx == 0, _perm_dot(v, pt_ref), _shift_rows(v, -gpi))
+    bot = jnp.where(iidx == h - 1, _perm_dot(v, pb_ref), _shift_rows(v, gpi))
+
+    def comp(t):                                   # (R, 128) -> (R, 16)
+        edge = jax.lax.dot_general(
+            t, pe_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        sp = _shift_rows(t, -1)                    # px 15: lanes 60:64/124:128
+        prev = jnp.where(gidx == 0, edge[:, 0:8],
+                         jnp.concatenate([sp[:, 60:64], sp[:, 124:128]], 1))
+        sn = _shift_rows(t, 1)                     # px 0: lanes 0:4/64:68
+        nxt = jnp.where(gidx == gpi - 1, edge[:, 8:16],
+                        jnp.concatenate([sn[:, 0:4], sn[:, 64:68]], 1))
+        return jnp.concatenate([prev, nxt], axis=1)
+
+    x_full = jnp.concatenate(
+        [top, v, bot, comp(top), comp(v), comp(bot)], axis=1)  # (R, 432)
+    y = jax.lax.dot_general(x_full, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * sc_ref[0] + b_ref[0]
+    out_ref[0] = _epilogue(yf, relu, out_dtype).reshape(out_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "relu", "out_dtype", "interpret")
+)
+def conv_i8_in1_split(lst4, ndvi4, w432s, scale, bias, h: int, w: int,
+                      relu: bool = True, out_dtype=jnp.int8,
+                      interpret: bool = False):
+    """conv_i8_in1 with the two packed sources as SEPARATE refs: the K-concat
+    happens in-register, so the serving step's XLA channel-interleave chain
+    (5D reshape + concat + squeeze, ~0.5 ms/iter at batch 256) disappears.
+
+    lst4/ndvi4: (N, h, w, 4) int8, lanes (q, r) per packed px
+    (models/packed._space_to_depth single-source order). w432s from
+    in1_split_weights(pack_in1_weights(q1)). Output identical to
+    conv_i8_in1 on the interleaved concat: (N, h*w/2, 128) int8 pair rows."""
+    n = lst4.shape[0]
+    assert lst4.shape == (n, h, w, 4) and ndvi4.shape == (n, h, w, 4)
+    assert w % 16 == 0, w
+    gpi = w // 16
+    rows = h * gpi
+    l_rows = lst4.reshape(n, rows, 64)
+    n_rows = ndvi4.reshape(n, rows, 64)
+    pt, pb, pe = in1_pad_matrices_split()
+    kern = functools.partial(_in1_kernel_split, gpi=gpi, h=h, relu=relu,
+                             out_dtype=out_dtype)
+    half = pl.BlockSpec((1, rows, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            half, half,
+            pl.BlockSpec((432, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1024), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows * 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, rows * 8, 128), out_dtype),
+        interpret=interpret,
+    )(l_rows, n_rows, w432s, scale.reshape(1, 1024), bias.reshape(1, 1024),
+      jnp.asarray(pt), jnp.asarray(pb), jnp.asarray(pe))
 
 
 # ------------------------------------------ pre-stacked conv (skinny layers)

@@ -305,7 +305,7 @@ def _img_block(ib, r_img, lanes):
 
 
 def _pick_ib(n: int, r_img: int, lanes: int, lanes_out: int,
-             budget: int = 8 * 2**20) -> int:
+             budget: int = 12 * 2**20) -> int:
     """Images per grid step: the footprint is dominated by the int32
     accumulator + the f32 epilogue value (8 bytes/lane_out) plus the int8
     operands (~9 bytes/lane with the tap concats); fill ~budget, cap 8."""

@@ -127,3 +127,28 @@ def test_conv_i8_exact_dual(rng):
         jnp.asarray(np.tile(bias, 2).astype(np.float32)),
         hp, wp, relu=True, out_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(16, 32), (8, 16)])
+def test_conv_i8_in1_split(rng, h, w):
+    """The split-source front conv (two refs, in-register K-concat) is
+    bit-identical to conv_i8_in1 on the channel-interleaved concat."""
+    from sifsr_tpu.pallas.conv_i8 import conv_i8_in1_split, in1_split_weights
+
+    lst4 = rng.integers(-127, 128, (2, h, w, 4)).astype(np.int8)
+    ndvi4 = rng.integers(-127, 128, (2, h, w, 4)).astype(np.int8)
+    q1 = rng.integers(-20, 21, (3, 3, 8, 64)).astype(np.int8)
+    s_w = (0.001 + 0.01 * rng.random(64)).astype(np.float32)
+    bias = rng.normal(size=64).astype(np.float32)
+    comb = (0.03 * s_w).astype(np.float32)
+    sc = jnp.asarray(np.tile(comb, 16))
+    bv = jnp.asarray(np.tile(bias, 16).astype(np.float32))
+
+    xq = np.stack([lst4, ndvi4], axis=-1).reshape(2, h, w, 8)
+    w432 = pack_in1_weights(q1)
+    want = np.asarray(conv_i8_in1(jnp.asarray(xq), jnp.asarray(w432), sc, bv,
+                                  h, w, interpret=True))
+    got = np.asarray(conv_i8_in1_split(
+        jnp.asarray(lst4), jnp.asarray(ndvi4),
+        jnp.asarray(in1_split_weights(w432)), sc, bv, h, w, interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -81,3 +81,20 @@ def test_predict_granule_sharded_matches_single(rng, tiny_setup):
                               batch_size=4, compute_dtype=jnp.float32,
                               mesh=make_mesh(4))
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
+
+
+def test_predict_granule_device_tiling_matches_host(rng, tiny_setup):
+    """The all-on-device tiling path (one upload, one download) returns the
+    same mosaic as the host double-buffered pipeline, including coverage
+    zeroing and a tail batch (5 tiles, batch_size 2)."""
+    model, variables = tiny_setup
+    lst = (300 + 5 * rng.random((128, 192))).astype(np.float32)
+    lst[:64, :64] = 0.0
+    ndvi = (rng.random((512, 768)) * 0.8).astype(np.float32)
+
+    kw = dict(stats=STATS, model=model, batch_size=2, coverage=0.5,
+              compute_dtype=jnp.float32)
+    host = predict_granule(variables, lst, ndvi, **kw)
+    dev = predict_granule(variables, lst, ndvi, device_tiling=True, **kw)
+    assert dev.shape == host.shape == (512, 768)
+    np.testing.assert_allclose(dev, host, atol=1e-4)
