@@ -82,7 +82,7 @@ def bench_serving():
 
         pallas_params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
         candidates["pallas_i8"] = (
-            make_pallas_sr_step(stats),
+            make_pallas_sr_step(stats, mid="xla"),
             pallas_params,
             256,
         )

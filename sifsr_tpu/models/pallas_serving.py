@@ -404,15 +404,16 @@ def _prow_mid(pmid, pm_rows, hp: int, interpret: bool):
 
 
 def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
-                        mid: str = "xla"):
+                        mid: str = "prow"):
     """Pallas-serving twin of inference.make_sr_step:
     (params, lst (N,64,64) K, ndvi (N,256,256)) -> (N,256,256) K.
     interpret defaults to True off-TPU (pallas interpreter for CPU tests).
 
-    mid: 'xla' keeps the round-2 XLA int8 mid chain; 'prow' runs it as
-    p-row pallas kernels (pallas/conv_px) — the round-3 fast path that
-    removes the XLA mid's quant/dequant elementwise passes and most
-    XLA<->Pallas relayout copies.
+    mid: 'prow' (default) runs the whole mid chain as p-row pallas kernels
+    (pallas/conv_px) — the round-3 fast path (10.1k patches/s wall at batch
+    384, 80-pair harness RMSE -0.006 K vs f32) that removes the XLA mid's
+    quant/dequant elementwise passes and most XLA<->Pallas relayout copies;
+    'xla' keeps the round-2 XLA int8 mid chain.
 
     mesh: a jax.sharding.Mesh with a 'data' axis runs the step data-parallel
     via shard_map (GSPMD would otherwise replicate through the pallas custom
