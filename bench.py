@@ -157,13 +157,15 @@ def bench_serving():
             # up and ~28 MB of SR down, so on this harness the number is
             # bound by the axon tunnel's host<->device link (~0.4 GB/s),
             # not by the pipeline (a real TPU host's PCIe moves the same
-            # bytes ~50x faster, overlapped by the double buffering)
-            probe = jnp.asarray(ndvi_g[:1024, :1024])  # 4 MB
-            jax.block_until_ready(probe)
+            # bytes ~50x faster, overlapped by the double buffering).
+            # block_until_ready is a no-op through the tunnel, so force the
+            # upload to complete with a dependent scalar read per rep; the
+            # probe is large (92 MB) to keep the sync round-trip <1% of dt.
+            float(jax.device_put(ndvi_g).sum())  # warm the transfer path
             t0 = time.perf_counter()
-            for _ in range(4):
-                jax.block_until_ready(jax.device_put(ndvi_g[:1024, :1024]))
-            h2d = 4 * probe.nbytes / (time.perf_counter() - t0) / 1e6
+            for _ in range(2):
+                float(jax.device_put(ndvi_g).sum())
+            h2d = 2 * ndvi_g.nbytes / (time.perf_counter() - t0) / 1e6
             granule = {
                 "patches_per_sec_wall": round(reps * n_patches / dt, 1),
                 "granule_seconds": round(dt / reps, 3),

@@ -112,6 +112,43 @@ def make_sr_step(
     return sr_step
 
 
+@functools.lru_cache(maxsize=8)
+def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
+                      bs: int, coverage: float):
+    """Jitted all-on-device granule program for predict_granule's
+    device_tiling mode, cached per (sr_step, geometry) so repeated granules
+    of the same shape reuse the compiled executable."""
+    fwin = window * factor
+    nt = gh * gw
+    k = -(-nt // bs)
+    pad = k * bs - nt
+
+    @jax.jit
+    def run_device(lst_g, ndvi_g, params):
+        lst_t = (lst_g[: gh * window, : gw * window]
+                 .reshape(gh, window, gw, window)
+                 .transpose(0, 2, 1, 3).reshape(nt, window, window))
+        ndvi_t = (ndvi_g[: gh * fwin, : gw * fwin]
+                  .reshape(gh, fwin, gw, fwin)
+                  .transpose(0, 2, 1, 3).reshape(nt, fwin, fwin))
+        keep = (lst_t == 0.0).mean(axis=(1, 2)) <= coverage
+        if pad:
+            lst_t = jnp.concatenate(
+                [lst_t, jnp.zeros((pad, window, window), lst_t.dtype)])
+            ndvi_t = jnp.concatenate(
+                [ndvi_t, jnp.zeros((pad, fwin, fwin), ndvi_t.dtype)])
+        sr = jax.lax.map(
+            lambda ab: sr_step(params, ab[0], ab[1]),
+            (lst_t.reshape(k, bs, window, window),
+             ndvi_t.reshape(k, bs, fwin, fwin)))
+        sr = sr.reshape(k * bs, fwin, fwin)[:nt]
+        sr = jnp.where(keep[:, None, None], sr, 0.0)
+        return (sr.reshape(gh, gw, fwin, fwin)
+                .transpose(0, 2, 1, 3).reshape(gh * fwin, gw * fwin))
+
+    return run_device
+
+
 def predict_granule(
     variables,
     lst_granule: np.ndarray,
@@ -214,37 +251,19 @@ def predict_granule(
         while pending:
             drain()
 
-    if overlap == 0 and device_tiling:
+    if device_tiling:
+        if mesh is not None:
+            raise ValueError(
+                "device_tiling currently targets single-device serving; "
+                "use the host pipeline (device_tiling=False) with mesh")
+        if overlap != 0:
+            raise ValueError(
+                "device_tiling does not implement overlap blending; "
+                "use the host pipeline (device_tiling=False) with overlap")
         gh = lst_granule.shape[0] // window
         gw = lst_granule.shape[1] // window
-        nt = gh * gw
-        bs = min(batch_size, nt)
-        k = -(-nt // bs)
-        pad = k * bs - nt
-
-        @jax.jit
-        def run_device(lst_g, ndvi_g, params):
-            lst_t = (lst_g[: gh * window, : gw * window]
-                     .reshape(gh, window, gw, window)
-                     .transpose(0, 2, 1, 3).reshape(nt, window, window))
-            ndvi_t = (ndvi_g[: gh * fwin, : gw * fwin]
-                      .reshape(gh, fwin, gw, fwin)
-                      .transpose(0, 2, 1, 3).reshape(nt, fwin, fwin))
-            keep = (lst_t == 0.0).mean(axis=(1, 2)) <= coverage
-            if pad:
-                lst_t = jnp.concatenate(
-                    [lst_t, jnp.zeros((pad, window, window), lst_t.dtype)])
-                ndvi_t = jnp.concatenate(
-                    [ndvi_t, jnp.zeros((pad, fwin, fwin), ndvi_t.dtype)])
-            sr = jax.lax.map(
-                lambda ab: sr_step(params, ab[0], ab[1]),
-                (lst_t.reshape(k, bs, window, window),
-                 ndvi_t.reshape(k, bs, fwin, fwin)))
-            sr = sr.reshape(k * bs, fwin, fwin)[:nt]
-            sr = jnp.where(keep[:, None, None], sr, 0.0)
-            return (sr.reshape(gh, gw, fwin, fwin)
-                    .transpose(0, 2, 1, 3).reshape(gh * fwin, gw * fwin))
-
+        run_device = _device_tiling_fn(sr_step, window, factor, gh, gw,
+                                       min(batch_size, gh * gw), coverage)
         return np.asarray(run_device(jnp.asarray(lst_granule),
                                      jnp.asarray(ndvi_granule), step_params))
 

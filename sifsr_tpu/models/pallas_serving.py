@@ -426,7 +426,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def _finish(params, up_q, s0p, n, hp, wb):
+    def _finish(params, up_q, s0p, hp):
         """Shared tail: packed x2 output (pair-row lane order) -> ub3 dual
         conv -> ub3.conv2 -> outlay + exact border strips -> Kelvin SR."""
         d = params["u31"]
@@ -518,8 +518,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
 
         if use_prow:
             up_q = _prow_mid(params["pmid"], pm, hp, interpret)
-            return _finish(params, up_q.reshape(n, hp, hp, 64), s0p,
-                           n, hp, wb)
+            return _finish(params, up_q.reshape(n, hp, hp, 64), s0p, hp)
         pm = pm.reshape(n, hp, hp, 16)
 
         def mid_conv_prequant(x_q, s_x, leaf, relu=True):
@@ -555,7 +554,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         # (n, d, e, i, (jp, px), c) -> (n, i, jp, px, d, e, c)
         up_q = y6.reshape(n, 2, 2, hp, wb, 2, 16).transpose(
             0, 3, 4, 5, 1, 2, 6).reshape(n, hp, hp, 64)
-        return _finish(params, up_q, s0p, n, hp, wb)
+        return _finish(params, up_q, s0p, hp)
 
     if mesh is None:
         return sr_step

@@ -304,16 +304,25 @@ def _img_block(ib, r_img, lanes):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_ib(n: int, r_img: int, lanes: int, lanes_out: int,
-             budget: int = 12 * 2**20) -> int:
-    """Images per grid step: the footprint is dominated by the int32
-    accumulator + the f32 epilogue value (8 bytes/lane_out) plus the int8
-    operands (~9 bytes/lane with the tap concats); fill ~budget, cap 8."""
-    per_img = r_img * (9 * lanes + 12 * lanes_out)
+IB_BUDGET = 12 * 2**20   # scoped-VMEM fill target for per-image blocking
+                         # (measured faster than 8 MiB on the 128²-level
+                         # kernels; 16 MiB is the hard Mosaic limit)
+
+
+def _clamp_ib(n: int, per_img: int, budget: int = IB_BUDGET) -> int:
+    """Images per grid step for an estimated per-image VMEM footprint:
+    fill ~budget, cap 8, and divide the batch evenly."""
     ib = max(1, min(8, budget // max(per_img, 1)))
     while n % ib:
         ib -= 1
     return ib
+
+
+def _pick_ib(n: int, r_img: int, lanes: int, lanes_out: int) -> int:
+    """The footprint is dominated by the int32 accumulator + the f32
+    epilogue value (8 bytes/lane_out) plus the int8 operands (~9 bytes/lane
+    with the tap concats)."""
+    return _clamp_ib(n, r_img * (9 * lanes + 12 * lanes_out))
 
 
 def _vec(a):
@@ -727,9 +736,7 @@ def conv_prow_up2_pack(x_rows, leaf: dict, p: int, c: int, h: int,
     nd = len(deltas)
     wcl = h * c_out
     per_img = r_img * (9 * lanes + 12 * 128) + 24 * h * wcl
-    ib = max(1, min(8, (8 * 2**20) // max(per_img, 1)))
-    while n % ib:
-        ib -= 1
+    ib = _clamp_ib(n, per_img)
     rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
     r_out = h * (h // 2)
     return pl.pallas_call(
@@ -784,9 +791,7 @@ def conv_prow_up2(x_rows, leaf: dict, p: int, c: int, c_out: int, p_out: int,
     nd = len(deltas)
     # the x2 planes (4x f32 (h, w*c_out)) dominate the footprint
     per_img = r_img * (9 * lanes + 12 * lanes_out) + 20 * h * w * c_out
-    ib = max(1, min(8, (8 * 2**20) // max(per_img, 1)))
-    while n % ib:
-        ib -= 1
+    ib = _clamp_ib(n, per_img)
     rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
     return pl.pallas_call(
         functools.partial(_conv_up2_kernel, c=c, p=p, r_img=r_img, gpi=gpi,
