@@ -1,37 +1,46 @@
 """The fastest serving path: int8 + space-to-depth + exact Pallas pair-convs.
 
-Composition of the serving optimisations, aimed at the BASELINE.md
-north-star (>=10k 64->256 patches/s/chip; measured ~7.0k at batch 256 on
-v5e, wall = device-bound with the scan-chained bench):
+Round-3 state: the ENTIRE U-Net runs as chained Pallas kernels (mid='prow',
+the default) — 10,118 patches/s wall / 10,211 device-bound at batch 384 on
+v5e, over the BASELINE.md >=10k north star. Composition:
 
 - every 256²-resolution conv runs in Pallas with zero XLA glue:
-  inbloc.conv1 as the prestacked-neighbourhood matmul (XLA lane-stacks the
-  3x3 taps of the 8-channel packed input), inbloc.conv2 / ub3.conv1 /
-  ub3.conv2 as the exact self-padding pair-conv kernels
-  (pallas/conv_i8.py) — consecutive kernels exchange rows-form int8
-  tensors, which is copy-free (both pin the {2,1,0} layout);
+  inbloc.conv1 as the in-kernel tap-stacked matmul over SPLIT lst/ndvi
+  refs (conv_i8_in1_split), inbloc.conv2 / ub3.conv1 / ub3.conv2 as the
+  exact self-padding pair-conv kernels (pallas/conv_i8.py) — consecutive
+  kernels exchange rows-form int8 tensors, which is copy-free (all pin the
+  {2,1,0} layout);
+- the mid chain (db1-db3, ub1-ub2 at 128²/64²/32²) runs as p-row
+  banded-matmul kernels (pallas/conv_px.py) with the 2x2 pools, the
+  align-corners x2 upsamples and the skip concats fused into conv
+  epilogues/prologues (skips read split half-planes; e-major upsample
+  groups are absorbed via weight packing); 64-lane convs run at doubled p
+  (Mosaic rejects sub-128-lane reshapes);
+- the serving tail is ONE call (conv_prow_up2_pack): ub2.conv2 + the final
+  x2 + space-to-depth packing to 256²-level pair rows via a fixed 512x512
+  int8 lane-permutation matmul (the Mosaic-expressible lane-crossing);
 - ub3.conv1's skip concat is never materialised: conv(concat(up, skip)) =
   conv_a(up) + conv_b(skip) with per-half input scales and per-half
   per-channel weight scales;
-- the LST cubic x4 and the ub3-input linear x2 run as phase-separated
-  Pallas upsample kernels with quantisation fused into their epilogues
-  (pallas/resize_phases.py); the decoder's small ub1/ub2 upsamples stay on
-  the XLA einsum (measured cheaper than paying two more boundary copies);
-- inbloc.conv2 emits the mid-chain phase mean as a fused second output,
-  already int8-quantized at db1's first-conv input scale;
-- the mid-resolution encoder/decoder reuses the proven XLA int8 path from
-  models/quantized_packed.py (a bf16 mid measured slower);
+- the LST cubic x4 runs as a phase-separated Pallas upsample with
+  quantisation fused into its epilogue (pallas/resize_phases.py);
+- inbloc.conv2 emits the mid-chain phase mean as a fused second output in
+  p=8 rows form, already int8-quantized at db1's first-conv input scale;
 - outlay is a zero-padded XLA int8 conv (the pad folds into the conv op)
-  with exact replicate-pad border strips pasted into the final SR.
+  with exact replicate-pad border strips pasted into the final SR, and the
+  Kelvin de-normalise folded into its dequant epilogue;
+- mid='xla' keeps the round-2 XLA int8 mid chain (models/quantized_packed)
+  as the comparison path.
 
 Everything is calibrated statically from sample patches (per-tensor input
 scales with headroom, per-output-channel weight scales), mirroring
 models/quantized.calibrate_activation_scales.
 
 Numerical contract: equivalent to the BN-folded ModelB_2 forward (reference
-model.py:608-645) within int8 quantization error; measured end-to-end on the
-real released weights in tests/test_pallas_serving.py and on the full
-80-pair ASTER harness (EVAL_RESULTS.md, results/modelB_1009_pallas/).
+model.py:608-645) within int8 quantization error; measured end-to-end on
+the real released weights in tests/test_pallas_serving.py and on the full
+80-pair ASTER harness (EVAL_RESULTS.md, results/modelB_1009_pallas_prow/:
+RMSE -0.006 K / SSIM -0.002 vs f32).
 """
 
 from __future__ import annotations
