@@ -45,6 +45,10 @@ class CheckpointManager:
         if best_state is not None:
             kwargs["best"] = ocp.args.StandardSave(best_state)
         self._mgr.save(epoch, args=ocp.args.Composite(**kwargs))
+        # block until serialized: the train step donates its input state, so
+        # the next epoch would otherwise invalidate buffers an async orbax
+        # save is still reading
+        self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()

@@ -23,6 +23,8 @@ the *bicubic input* (there is no HR ground truth; train_model_B_*.py:142-143)
 from __future__ import annotations
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -73,7 +75,9 @@ def make_train_step(
     ds_loss so the fused Pallas degradation kernel runs shard_mapped over the
     batch axis instead of falling back to the matmul chain."""
 
-    @jax.jit
+    # donating the incoming state lets XLA update params/opt-state/BN
+    # buffers in place instead of allocating a second copy of every tensor
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: SifTrainState, batch: dict):
         def loss_fn(params):
             x = jnp.concatenate([batch["lst_up"], batch["ndvi"]], axis=-1)
