@@ -220,24 +220,26 @@ def test_conv_prow_up2_exact(rng, p, c, c_out, p_out, h, w, fold):
     np.testing.assert_array_equal(got, want)
 
 
-def test_conv_prow_up2_pack_exact(rng):
+@pytest.mark.parametrize("h,n", [(16, 2), (32, 3)])
+def test_conv_prow_up2_pack_exact(rng, h, n):
     """The serving-tail kernel (conv + final x2 + space-to-depth packing to
     pair rows) is bit-identical to conv -> pallas phase upsample ->
-    phases_to_packed_x2."""
+    phases_to_packed_x2 (two geometries; n=3 exercises the ib divisor
+    fallback)."""
     from sifsr_tpu.pallas.resize_phases import (
         phases_to_packed_x2, upsample_phases)
     from sifsr_tpu.pallas.conv_px import conv_prow_up2_pack
 
-    p, c, h = 8, 32, 16                                # folded geometry
+    p, c = 8, 32                                       # folded geometry
     s_mid, s_up = 0.15, 0.25
-    x_q, k, bias = _rand_case(rng, 2, h, h, c, 16)
+    x_q, k, bias = _rand_case(rng, n, h, h, c, 16)
     leaf = prow_leaf(k, bias, p, s_in=0.19, s_out=s_mid)
     _, rc, cc, inv = up2_coeffs(h, h, 16, s_mid, s_up)
     leaf.update(rc=jnp.asarray(rc), cc=jnp.asarray(cc), inv=jnp.asarray(inv))
 
     got = conv_prow_up2_pack(nhwc_to_rows(x_q, p // 2), leaf, p, c, h,
                              fold=2, interpret=True)
-    got = np.asarray(got).reshape(2, h, h, 64)
+    got = np.asarray(got).reshape(n, h, h, 64)
 
     qk, _ = _quant_ref(k)
     mid_nhwc = _requant(_ref_epilogue(_ref_conv_i32(x_q, qk), leaf, 16))
