@@ -368,7 +368,7 @@ def cmd_seasons(argv):
     if split_col is not None:
         df = df[df[split_col] == args.split]
     if args.time != "Both":
-        df = df[df["LST"].astype(str).str.contains(args.time)]
+        df = df[df["LST"].astype(str).str.contains(args.time, regex=False)]
     # day-of-year from the MODIS A-date token in the LST path
     # (reference: i.split('.')[-6][5:], e.g. .../MOD21A1D.A2020123....tif)
     def doy(path: str) -> int:

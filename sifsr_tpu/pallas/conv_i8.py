@@ -52,7 +52,6 @@ __all__ = [
     "pack_row_tap_weights",
     "conv_i8_exact",
     "conv_i8_exact_dual",
-    "conv_i8_prestacked",
     "conv_i8_in1",
     "conv_i8_in1_split",
     "in1_split_weights",
@@ -339,7 +338,7 @@ def conv_i8_exact(x_packed, wm, wc, scale, bias, hp: int, wp: int,
     x_packed: (N, hp, wp, 64) int8, UNPADDED; returns (N, hp, wp, 64)
     out_dtype (+ the phase mean if phase_mean is the dequant scale s_out).
     The phase mean is computed in the kernel in p=8 rows form
-    ((N, hp*wp/16, 128), lanes (jp, px, ch) — the mid chain's conv_prow
+    ((N, hp*wp/8, 128), lanes (jp, px, ch) — the mid chain's conv_prow
     input layout, zero glue); pm_rows=False reshapes it to the NHWC-view
     (N, hp, wp/2, 32) for the XLA-mid consumers."""
     n = x_packed.shape[0]
@@ -702,49 +701,3 @@ def conv_i8_in1_split(lst4, ndvi4, w432s, scale, bias, h: int, w: int,
         interpret=interpret,
     )(l_rows, n_rows, w432s, scale.reshape(1, 1024), bias.reshape(1, 1024),
       jnp.asarray(pt), jnp.asarray(pb), jnp.asarray(pe))
-
-
-# ------------------------------------------ pre-stacked conv (skinny layers)
-
-def _prestacked_kernel(x_ref, w_ref, sc_ref, bias_ref, out_ref, *, relu,
-                       out_dtype):
-    y = jax.lax.dot_general(x_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    yf = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
-    out_ref[0] = _epilogue(yf, relu, out_dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("relu", "out_dtype", "interpret")
-)
-def conv_i8_prestacked(x_rows, w, scale, bias, relu: bool = True,
-                       out_dtype=jnp.int8, interpret: bool = False):
-    """Conv with the full 3x3 neighbourhood pre-stacked in lanes by XLA:
-    x_rows (N, R, K) int8 where each row already concatenates every tap of
-    its receptive field, w (K, 128) int8 block-diagonal per output pixel.
-    The kernel is then ONE matmul — used for the skinny inbloc.conv1 layer
-    (2->16 fine), whose pair-lane count (16) is too small for the register
-    roll/permutation machinery of the 64-channel kernels."""
-    n, total, k = x_rows.shape
-    slab_rows = min(total, EXACT_SLAB * 64)
-    assert total % slab_rows == 0, (total, slab_rows)
-    kern = functools.partial(_prestacked_kernel, relu=relu, out_dtype=out_dtype)
-    return pl.pallas_call(
-        kern,
-        grid=(n, total // slab_rows),
-        in_specs=[
-            pl.BlockSpec((1, slab_rows, k), lambda i, s: (i, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 128), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, slab_rows, 128), lambda i, s: (i, s, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, total, 128), out_dtype),
-        interpret=interpret,
-    )(x_rows, w, scale.reshape(1, 128), bias.reshape(1, 128))
-
