@@ -36,12 +36,14 @@ PATCH_FLOPS = 3.0e9          # conv FLOPs per 64->256 patch (MAC*2)
 V5E_INT8_PEAK = 394e12
 
 
-def _measure(fn, lst, ndvi, iters=10):
+def _measure(fn, lst, ndvi, iters=10, repeats=3):
     """Time `iters` dependency-chained serving steps inside ONE jitted scan:
     per-call dispatch through the axon tunnel costs ~5-10 ms and its
     block_until_ready is a no-op, so a Python-loop measurement is dominated
     by host round-trips at small batches; the scan keeps the chain on
-    device and the trailing float() is the only sync."""
+    device and the trailing float() is the only sync. The chain is timed
+    `repeats` times and the fastest is reported: the device time is
+    deterministic, so the min strips tunnel/host scheduling noise."""
     from jax import lax
 
     @jax.jit
@@ -53,9 +55,12 @@ def _measure(fn, lst, ndvi, iters=10):
         return lax.scan(body, l, None, length=iters)
 
     float(run(lst, ndvi)[1].sum())  # compile + warm
-    t0 = time.perf_counter()
-    float(run(lst, ndvi)[1].sum())
-    return time.perf_counter() - t0, iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(lst, ndvi)[1].sum())
+        best = min(best, time.perf_counter() - t0)
+    return best, iters
 
 
 def bench_serving():
@@ -145,10 +150,13 @@ def bench_serving():
             for name, mkw in (("host_pipeline", {}),
                               ("device_tiling", {"device_tiling": True})):
                 predict_granule(None, lst_g, ndvi_g, **kw, **mkw)  # warm
-                t0 = time.perf_counter()
+                best_rep = float("inf")
                 for _ in range(reps):
+                    t0 = time.perf_counter()
                     predict_granule(None, lst_g, ndvi_g, **kw, **mkw)
-                modes[name] = (time.perf_counter() - t0) / reps
+                    best_rep = min(best_rep, time.perf_counter() - t0)
+                modes[name] = best_rep  # fastest rep: device time is
+                # deterministic, the min strips tunnel/host noise
             mode = min(modes, key=modes.get)
             dt = modes[mode] * reps
             n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
