@@ -68,6 +68,11 @@ class TrainConfig:
     # per-step on-device PSNR/SSIM (the reference computes them per batch;
     # disabling buys ~35% step time)
     step_metrics: bool = True
+    # rematerialise the forward+loss graph in the backward pass
+    # (jax.checkpoint): drops all forward activations from HBM between the
+    # forward and backward phases at the cost of ~one extra forward — lifts
+    # the activation-memory ceiling on batch size. Numerics are identical.
+    remat: bool = False
 
 
 def load_params_json(path: str, recipe: str = "predef_filters") -> TrainConfig:

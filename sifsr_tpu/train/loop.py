@@ -84,7 +84,7 @@ def train_loop(
 
     train_step = make_train_step(
         model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst,
-        with_metrics=config.step_metrics,
+        with_metrics=config.step_metrics, remat=config.remat,
     )
     eval_step = make_eval_step(
         model, config.recipe, hp.alpha, hp.gamma, stats.mean_lst, stats.std_lst,

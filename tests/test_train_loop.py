@@ -105,3 +105,36 @@ def test_bf16_mixed_precision_learns():
     assert metrics["train_loss"][-1] < metrics["train_loss"][0]
     leaves = jax.tree.leaves(state.params)
     assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_remat_step_bit_identical():
+    """config.remat wraps the forward+loss in jax.checkpoint — activations
+    are recomputed in the backward pass (activation-HBM ceiling lifted for
+    large batches) with IDENTICAL numerics: same grads, params, metrics."""
+    from sifsr_tpu.data.datasets import prepare_batch
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.train.state import create_train_state
+    from sifsr_tpu.train.step import make_train_step
+
+    stats = Statistics(maxi=330.0, mini=260.0, mean_lst=295.0, std_lst=10.0,
+                       mean_ndvi=0.3, std_ndvi=0.25)
+    ds = make_synthetic_dataset(4, seed=5)
+    batch = prepare_batch(next(ds.batches(4, seed=0)))
+    model = ModelB2()
+
+    outs = {}
+    for remat in (False, True):
+        state = create_train_state(model, 1e-3, rng=jax.random.key(0))
+        step = make_train_step(model, "predef_filters", 0.99, -0.5,
+                               stats.mean_lst, stats.std_lst, remat=remat)
+        state, metrics = step(state, batch)
+        outs[remat] = (state, metrics)
+
+    s0, m0 = outs[False]
+    s1, m1 = outs[True]
+    for k in m0:
+        assert float(m0[k]) == float(m1[k]), k
+    flat0 = jax.tree_util.tree_leaves(s0.params)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(flat0, flat1))
