@@ -68,9 +68,18 @@ def main(argv=None):
                              "thread pool with prefetch (for corpora larger "
                              "than host RAM) instead of materialising the "
                              "dataset up front")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise forward activations in the "
+                             "backward pass (jax.checkpoint): identical "
+                             "numerics, ~one extra forward, lifts the "
+                             "activation-HBM ceiling on batch size")
     args = parser.parse_args(argv)
 
     config = load_params_json(args.params, recipe=args.recipe)
+    if args.remat:
+        import dataclasses
+
+        config = dataclasses.replace(config, remat=True)
     stats = Statistics.from_json(args.statistics)
 
     save_path = config.save.save_path
