@@ -90,6 +90,11 @@ class Tiff {
     if (buf.u16(2) != 42) return SIFSR_ERR_FORMAT;
     uint32_t ifd = buf.u32(4);
     uint16_t n = buf.u16(ifd);
+    // the IFD promises n 12-byte entries: a file that cannot hold them is
+    // truncated (u16/u32 would silently read the lost entries as zeros,
+    // dropping tags like SampleFormat and decoding garbage without error)
+    if (n == 0 || (size_t)ifd + 2 + 12 * (size_t)n > buf.data.size())
+      return SIFSR_ERR_FORMAT;
     meta.rows_per_strip = 0;
     for (uint16_t i = 0; i < n; i++) {
       size_t e = ifd + 2 + 12 * (size_t)i;
@@ -126,6 +131,14 @@ class Tiff {
       return SIFSR_ERR_UNSUPPORTED;
     if (meta.strip_offsets.empty() || meta.strip_offsets.size() != meta.strip_counts.size())
       return SIFSR_ERR_FORMAT;
+    // reject hostile/corrupt geometry before any size arithmetic: zero dims,
+    // sample widths convert() doesn't handle, and products that overflow the
+    // int64 pixel math (MODIS granules are <=4800^2; 2^40 px is generous)
+    if (meta.width == 0 || meta.height == 0) return SIFSR_ERR_FORMAT;
+    if (meta.bits != 8 && meta.bits != 16 && meta.bits != 32 && meta.bits != 64)
+      return SIFSR_ERR_UNSUPPORTED;
+    if ((uint64_t)meta.width * (uint64_t)meta.height > (1ull << 40))
+      return SIFSR_ERR_FORMAT;
     return 0;
   }
 
@@ -141,6 +154,12 @@ class Tiff {
     for (size_t s = 0; s < meta.strip_offsets.size(); s++) {
       uint32_t rows = meta.rows_per_strip;
       if (row + rows > meta.height) rows = meta.height - row;
+      // strip table values come from the file: bound them to the buffer
+      // before forming the pointer (a lying offset/count would otherwise
+      // read past the mapped file copy)
+      if ((size_t)meta.strip_offsets[s] > buf.data.size() ||
+          (size_t)meta.strip_counts[s] > buf.data.size() - meta.strip_offsets[s])
+        return SIFSR_ERR_FORMAT;
       const uint8_t* src = buf.data.data() + meta.strip_offsets[s];
       size_t src_len = meta.strip_counts[s];
       size_t want = row_bytes * rows;

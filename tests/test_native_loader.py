@@ -166,3 +166,82 @@ def test_streaming_dataset_abandoned_epoch_stops_producer(tmp_path, rng):
     while threading.active_count() > before and time.perf_counter() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+# ------------------------------------------------------- hostile/corrupt TIFFs
+
+def _tif_bytes(arr):
+    """A valid little TIFF as bytes (via the project writer)."""
+    import io, os, tempfile
+    fd, p = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        write_geotiff(p, arr)
+        with open(p, "rb") as f:
+            return bytearray(f.read())
+    finally:
+        os.remove(p)
+
+
+def _find_strip_offset_entry(data):
+    """Locate the StripOffsets (273) IFD entry's value field."""
+    import struct
+    endian = "<" if data[:2] == b"II" else ">"
+    (ifd,) = struct.unpack(endian + "I", data[4:8])
+    (n,) = struct.unpack(endian + "H", data[ifd:ifd + 2])
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
+        if tag == 273:
+            return e + 8, endian
+    raise AssertionError("no StripOffsets tag")
+
+
+@needs_native
+def test_native_rejects_lying_strip_offset(tmp_path, rng):
+    """A strip offset pointing past EOF must error, not read out of bounds."""
+    import struct
+    arr = rng.normal(size=(16, 16)).astype(np.float32)
+    data = _tif_bytes(arr)
+    off_field, endian = _find_strip_offset_entry(data)
+    data[off_field:off_field + 4] = struct.pack(endian + "I", len(data) + 4096)
+    bad = tmp_path / "lying_offset.tif"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(IOError):
+        read_tiff(str(bad))
+
+
+@needs_native
+def test_native_rejects_truncated_file(tmp_path, rng):
+    arr = rng.normal(size=(32, 32)).astype(np.float32)
+    data = _tif_bytes(arr)
+    for cut in (10, len(data) // 2, len(data) - 16):
+        bad = tmp_path / f"trunc_{cut}.tif"
+        bad.write_bytes(bytes(data[:cut]))
+        with pytest.raises(IOError):
+            read_tiff(str(bad))
+
+
+@needs_native
+def test_native_rejects_garbage_and_empty(tmp_path):
+    empty = tmp_path / "empty.tif"
+    empty.write_bytes(b"")
+    garbage = tmp_path / "garbage.tif"
+    garbage.write_bytes(b"\x89PNG\r\n\x1a\nnot a tiff at all" * 4)
+    for p in (empty, garbage):
+        with pytest.raises(IOError):
+            read_tiff(str(p))
+
+
+@needs_native
+def test_batch_load_surfaces_corrupt_member(tmp_path, rng):
+    """One corrupt file in a batch must fail the batch load cleanly."""
+    paths = []
+    for i in range(4):
+        arr = (290 + 10 * rng.random((8, 8))).astype(np.float32)
+        p = str(tmp_path / f"{i}.tif")
+        write_geotiff(p, arr)
+        paths.append(p)
+    (tmp_path / "1.tif").write_bytes(b"II*\x00garbage")
+    with pytest.raises(IOError):
+        load_batch(paths, height=8, width=8)
