@@ -121,6 +121,8 @@ def read_geotiff(path: str) -> GeoTiff:
     with open(path, "rb") as f:
         data = f.read()
 
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError(f"{path}: not a TIFF (no II/MM byte-order mark)")
     endian = {b"II": "<", b"MM": ">"}[data[:2]]
     magic, ifd_offset = struct.unpack(endian + "HI", data[2:8])
     if magic != 42:
