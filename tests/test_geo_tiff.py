@@ -50,3 +50,52 @@ def test_write_read_roundtrip_float64_and_nodata(tmp_path, rng):
     back = read_geotiff(path)
     np.testing.assert_array_equal(back.array, arr)
     assert back.nodata == -9999.0
+
+
+# --------------------------------------------------- corrupt-input behaviour
+
+def _tiff_bytes(arr):
+    import os, tempfile
+    fd, p = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        write_geotiff(p, arr)
+        with open(p, "rb") as f:
+            return bytearray(f.read())
+    finally:
+        os.remove(p)
+
+
+def test_read_rejects_non_tiff(tmp_path):
+    p = tmp_path / "x.tif"
+    for payload in (b"", b"\x89PNG\r\n", b"II+\x00bigtiff-ish"):
+        p.write_bytes(payload)
+        with pytest.raises((ValueError, Exception)):
+            read_geotiff(str(p))
+
+
+def test_read_raises_on_truncation(tmp_path, rng):
+    """Every truncation point must raise — never return silent garbage."""
+    data = _tiff_bytes(rng.normal(size=(16, 16)).astype(np.float32))
+    p = tmp_path / "t.tif"
+    for cut in (4, 64, len(data) // 2, len(data) - 8):
+        p.write_bytes(bytes(data[:cut]))
+        with pytest.raises(Exception):
+            read_geotiff(str(p))
+
+
+def test_read_raises_on_lying_strip_offset(tmp_path, rng):
+    import struct
+    data = _tiff_bytes(rng.normal(size=(16, 16)).astype(np.float32))
+    endian = "<"
+    (ifd,) = struct.unpack(endian + "I", data[4:8])
+    (n,) = struct.unpack(endian + "H", data[ifd:ifd + 2])
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
+        if tag == 273:
+            data[e + 8:e + 12] = struct.pack(endian + "I", len(data) + 999)
+    p = tmp_path / "lying.tif"
+    p.write_bytes(bytes(data))
+    with pytest.raises(Exception):
+        read_geotiff(str(p))
