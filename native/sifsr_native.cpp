@@ -102,6 +102,11 @@ class Tiff {
       uint32_t count = buf.u32(e + 4);
       size_t vsize = (type < 13 ? TYPE_SIZE[type] : 1) * (size_t)count;
       size_t voff = vsize <= 4 ? e + 8 : buf.u32(e + 8);
+      // a conforming tag's value block lies inside the file; a lying
+      // count/offset otherwise drives an unbounded resize + O(count) loop
+      // below (a 4-byte field must not size a 15 GB allocation)
+      if (voff > buf.data.size() || vsize > buf.data.size() - voff)
+        return SIFSR_ERR_FORMAT;
       auto val = [&](uint32_t idx) -> uint32_t {
         int ts = type < 13 ? TYPE_SIZE[type] : 1;
         return type == 3 ? buf.u16(voff + idx * ts) : buf.u32(voff + idx * ts);

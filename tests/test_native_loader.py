@@ -245,3 +245,21 @@ def test_batch_load_surfaces_corrupt_member(tmp_path, rng):
     (tmp_path / "1.tif").write_bytes(b"II*\x00garbage")
     with pytest.raises(IOError):
         load_batch(paths, height=8, width=8)
+
+
+@needs_native
+def test_native_rejects_lying_tag_count(tmp_path, rng):
+    """A StripOffsets entry claiming ~4 billion values (fuzzer find) must be
+    rejected up front — it previously drove a 15 GB resize + O(count) loop."""
+    import struct, time
+    arr = rng.normal(size=(16, 16)).astype(np.float32)
+    data = _tif_bytes(arr)
+    off_field, endian = _find_strip_offset_entry(data)
+    # count field sits 4 bytes before the value field
+    data[off_field - 4:off_field] = struct.pack(endian + "I", 0xE0000001)
+    bad = tmp_path / "lying_count.tif"
+    bad.write_bytes(bytes(data))
+    t0 = time.monotonic()
+    with pytest.raises(IOError):
+        read_tiff(str(bad))
+    assert time.monotonic() - t0 < 5.0
