@@ -141,7 +141,17 @@ class HDF4File:
             payload = self._raw(TAG_COMPRESSED, comp_ref)
             if comp_type == COMP_DEFLATE:
                 try:
-                    return zlib.decompress(payload)
+                    # bound the output to the header's declared uncompressed
+                    # length: a stream that expands past it is hostile (a
+                    # few-KB decompression bomb must not size a huge buffer)
+                    dec = zlib.decompressobj()
+                    out = dec.decompress(payload, uncomp_len + 1)
+                    if len(out) > uncomp_len:
+                        raise HDF4Error(
+                            f"deflate stream ({tag}, {ref}) exceeds its "
+                            f"declared uncompressed length {uncomp_len}"
+                        )
+                    return out
                 except zlib.error as exc:
                     raise HDF4Error(f"corrupt deflate stream ({tag}, {ref}): {exc}") from exc
             raise NotImplementedError(f"compression type {comp_type}")

@@ -286,3 +286,26 @@ def test_structmetadata_geotransform(tmp_path, rng):
     assert y0 == pytest.approx(5559752.598333)
     assert dx == pytest.approx((0.0 - -1111950.519667) / 1200)
     assert dy == pytest.approx((4447802.078667 - 5559752.598333) / 1200)
+
+
+def test_deflate_bomb_rejected(tmp_path, rng):
+    """A deflate stream expanding far past its declared uncompressed length
+    must raise — the reader bounds the output buffer to the header's
+    uncomp_len instead of letting a few-KB payload size a huge allocation."""
+    import pytest
+    from sifsr_tpu.geo.hdf4 import HDF4Error
+
+    arr = _payload(rng, (16, 16))
+    raw = arr.tobytes()
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 MB from ~64 KB
+    b = Builder()
+    sds_scaffold(b, "sur_refl_b01", (16, 16), nt_code=DFNT_INT16)
+    hdr = struct.pack(">hHIHHH", SPECIAL_COMP, 0, len(raw), 77, 0, COMP_DEFLATE)
+    b.add(DFTAG_SD | EXT_BIT, 30, hdr)
+    b.add(DFTAG_COMPRESSED, 77, bomb)
+    p = tmp_path / "bomb.hdf"
+    p.write_bytes(b.build())
+
+    f = HDF4File(str(p))
+    with pytest.raises(HDF4Error, match="declared uncompressed length"):
+        f.read_sds("sur_refl_b01")
