@@ -222,6 +222,10 @@ class HDF4File:
         interlace, nvert, ivsize, nfields = struct.unpack(">hihh", raw[:10])
         if nvert < 0 or nfields < 0 or ivsize < 0:
             raise HDF4Error(f"Vdata ref {ref}: negative counts")
+        if nvert > 0 and ivsize == 0:
+            # ivsize==0 would bypass the payload-length bound below while
+            # nvert (an int32 from the file) sizes the column allocations
+            raise HDF4Error(f"Vdata ref {ref}: {nvert} records of zero size")
         if 10 + 8 * nfields > len(raw):
             raise HDF4Error(f"Vdata ref {ref}: field tables beyond end")
         p = 10
