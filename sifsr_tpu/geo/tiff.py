@@ -88,13 +88,20 @@ def _read_tag_values(data, endian, typ, count, value_field):
     else:
         (offset,) = struct.unpack(endian + "I", value_field)
         raw = data[offset : offset + size]
+    if len(raw) < size:
+        # validate BEFORE building the unpack format: count is a raw uint32
+        # from the file, and a lying value must not drive O(count) work
+        raise ValueError(
+            f"TIFF tag values truncated: need {size} B, file has {len(raw)}"
+        )
     if typ == 2:
         return raw.rstrip(b"\0").decode("ascii", "replace")
     fmt = _TYPE_FMT[typ]
     if typ in (5, 10):  # rationals -> floats
-        vals = struct.unpack(endian + fmt * count, raw)
+        vals = struct.unpack(endian + f"{2 * count}{fmt[0]}", raw)
         return tuple(vals[i] / vals[i + 1] for i in range(0, len(vals), 2))
-    return struct.unpack(endian + fmt * count, raw)
+    # numeric repeat count: parses in O(digits), not O(count) format chars
+    return struct.unpack(endian + f"{count}{fmt}", raw)
 
 
 def _dtype_from(bits, sample_format, endian):

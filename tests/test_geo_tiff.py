@@ -99,3 +99,25 @@ def test_read_raises_on_lying_strip_offset(tmp_path, rng):
     p.write_bytes(bytes(data))
     with pytest.raises(Exception):
         read_geotiff(str(p))
+
+
+def test_read_rejects_billion_count_tag(tmp_path, rng):
+    """A RowsPerStrip tag mutated to count=2^30 (fuzzer find) must raise
+    instantly — the unpack format is built with a numeric repeat count and
+    the value block is length-validated before any O(count) work."""
+    import struct, time
+    data = _tiff_bytes(rng.normal(size=(16, 16)).astype(np.float32))
+    endian = "<"
+    (ifd,) = struct.unpack(endian + "I", data[4:8])
+    (n,) = struct.unpack(endian + "H", data[ifd:ifd + 2])
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag, typ, count = struct.unpack(endian + "HHI", data[e:e + 8])
+        if tag == 278:  # RowsPerStrip
+            data[e + 4:e + 8] = struct.pack(endian + "I", 1 << 30)
+    p = tmp_path / "bigcount.tif"
+    p.write_bytes(bytes(data))
+    t0 = time.monotonic()
+    with pytest.raises(ValueError):
+        read_geotiff(str(p))
+    assert time.monotonic() - t0 < 2.0
