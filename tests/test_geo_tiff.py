@@ -121,3 +121,64 @@ def test_read_rejects_billion_count_tag(tmp_path, rng):
     with pytest.raises(ValueError):
         read_geotiff(str(p))
     assert time.monotonic() - t0 < 2.0
+
+
+def _build_tiled_tiff(arr, tw, tl, compress=False):
+    """Hand-assemble a tiled classic TIFF (the project writer only emits
+    strips, so the tiled read path needs an independent fixture)."""
+    import struct, zlib
+    h, w = arr.shape
+    assert arr.dtype == np.float32
+    tiles = []
+    for r0 in range(0, h, tl):
+        for c0 in range(0, w, tw):
+            tile = np.zeros((tl, tw), np.float32)
+            blk = arr[r0:r0 + tl, c0:c0 + tw]
+            tile[:blk.shape[0], :blk.shape[1]] = blk
+            raw = tile.tobytes()
+            tiles.append(zlib.compress(raw) if compress else raw)
+
+    header_end = 8
+    offsets, off = [], header_end
+    for t in tiles:
+        offsets.append(off)
+        off += len(t)
+    ifd_off = off
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32),
+        (259, 3, 1, 8 if compress else 1), (262, 3, 1, 1),
+        (277, 3, 1, 1), (322, 3, 1, tw), (323, 3, 1, tl),
+        (339, 3, 1, 3),
+    ]
+    n_arr = len(tiles)
+    arr_area = ifd_off + 2 + 12 * (len(entries) + 2) + 4
+    if n_arr == 1:
+        entries.append((324, 4, 1, offsets[0]))
+        entries.append((325, 4, 1, len(tiles[0])))
+        tail = b""
+    else:
+        entries.append((324, 4, n_arr, arr_area))
+        entries.append((325, 4, n_arr, arr_area + 4 * n_arr))
+        tail = b"".join(struct.pack("<I", o) for o in offsets)
+        tail += b"".join(struct.pack("<I", len(t)) for t in tiles)
+    entries.sort()
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += b"".join(tiles)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)
+    out += tail
+    return out
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("shape,tw,tl", [((32, 48), 16, 16), ((24, 40), 16, 16)])
+def test_read_tiled_tiff(tmp_path, rng, compress, shape, tw, tl):
+    """Tiled TIFFs (GDAL's default layout for larger rasters) decode
+    correctly, including edge-clipped partial tiles."""
+    arr = rng.normal(size=shape).astype(np.float32)
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(_build_tiled_tiff(arr, tw, tl, compress=compress))
+    g = read_geotiff(str(p))
+    np.testing.assert_array_equal(g.array, arr)
