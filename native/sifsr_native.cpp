@@ -69,6 +69,7 @@ struct TiffMeta {
   uint32_t width = 0, height = 0;
   uint16_t bits = 8, compression = 1, sample_format = 1, samples = 1;
   uint32_t rows_per_strip = 0;
+  bool tiled = false;
   std::vector<uint32_t> strip_offsets, strip_counts;
 };
 
@@ -123,6 +124,9 @@ class Tiff {
           meta.strip_offsets.resize(count);
           for (uint32_t k = 0; k < count; k++) meta.strip_offsets[k] = val(k);
           break;
+        case 322: case 324:  // TileWidth / TileOffsets
+          meta.tiled = true;
+          break;
         case 279:
           meta.strip_counts.resize(count);
           for (uint32_t k = 0; k < count; k++) meta.strip_counts[k] = val(k);
@@ -134,6 +138,9 @@ class Tiff {
     if (meta.samples != 1) return SIFSR_ERR_UNSUPPORTED;
     if (meta.compression != 1 && meta.compression != 8 && meta.compression != 32946)
       return SIFSR_ERR_UNSUPPORTED;
+    // a valid-but-tiled TIFF is unsupported here, not corrupt: the caller
+    // can route it to the pure-python reader (which handles tiles)
+    if (meta.tiled) return SIFSR_ERR_UNSUPPORTED;
     if (meta.strip_offsets.empty() || meta.strip_offsets.size() != meta.strip_counts.size())
       return SIFSR_ERR_FORMAT;
     // reject hostile/corrupt geometry before any size arithmetic: zero dims,

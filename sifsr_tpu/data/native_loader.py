@@ -25,6 +25,9 @@ _SO = os.path.abspath(os.path.join(_NATIVE_DIR, "libsifsr_native.so"))
 _lib = None
 _tried = False
 
+# native/sifsr_native.cpp return code: valid file, unsupported layout
+_ERR_UNSUPPORTED = -3
+
 
 def _load_library():
     global _lib, _tried
@@ -84,6 +87,13 @@ def read_tiff(path: str) -> np.ndarray:
     h = ctypes.c_int32()
     w = ctypes.c_int32()
     rc = lib.sifsr_tiff_info(path.encode(), ctypes.byref(h), ctypes.byref(w))
+    if rc == _ERR_UNSUPPORTED:
+        # valid TIFF in a layout the fast path doesn't do (tiled, PackBits,
+        # multi-band): route to the pure-python reader. Corrupt files
+        # (other codes) still raise.
+        from sifsr_tpu.geo.tiff import read_geotiff
+
+        return read_geotiff(path).array.astype(np.float32)
     if rc != 0:
         raise IOError(f"sifsr_tiff_info({path}) -> {rc}")
     out = np.empty((h.value, w.value), np.float32)
@@ -123,6 +133,17 @@ def load_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n_threads,
     )
+    if rc == _ERR_UNSUPPORTED:
+        # some member uses a layout the native path doesn't do: redo the
+        # batch through the python reader (correctness over speed)
+        from sifsr_tpu.geo.tiff import read_geotiff
+
+        full = np.stack([read_geotiff(p).array.astype(np.float32) for p in paths])
+        if full.shape[1:] != (height, width):
+            raise IOError(
+                f"load_batch: decoded shape {full.shape[1:]} != ({height}, {width})"
+            )
+        return (full - mean) / std
     if rc != 0:
         raise IOError(f"sifsr_load_batch_f32 -> {rc}")
     return out

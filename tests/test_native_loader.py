@@ -263,3 +263,22 @@ def test_native_rejects_lying_tag_count(tmp_path, rng):
     with pytest.raises(IOError):
         read_tiff(str(bad))
     assert time.monotonic() - t0 < 5.0
+
+
+@needs_native
+def test_tiled_tiff_falls_back_to_python(tmp_path, rng):
+    """A valid tiled TIFF (GDAL's default for larger rasters) is decoded via
+    the pure-python fallback — UNSUPPORTED routes there, corrupt still raises."""
+    from tests.test_geo_tiff import _build_tiled_tiff
+
+    arr = rng.normal(size=(24, 40)).astype(np.float32)
+    p = str(tmp_path / "tiled.tif")
+    with open(p, "wb") as f:
+        f.write(_build_tiled_tiff(arr, 16, 16, compress=True))
+    np.testing.assert_array_equal(read_tiff(p), arr)
+
+    # batch path: one tiled member reroutes the batch through python
+    strip = str(tmp_path / "strip.tif")
+    write_geotiff(strip, arr)
+    batch = load_batch([strip, p], height=24, width=40, mean=1.0, std=2.0)
+    np.testing.assert_allclose(batch, np.stack([(arr - 1.0) / 2.0] * 2), rtol=1e-6)

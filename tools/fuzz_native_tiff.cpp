@@ -20,7 +20,7 @@ int main(int argc, char** argv) {
   std::vector<std::vector<uint8_t>> seeds;
   for (int i = 2; i < argc - 1; i++) seeds.push_back(slurp(argv[i]));
   const char* tmp = argv[argc - 1];
-  const int ITERS = 100000;
+  const int ITERS = 10000;
   int rejected = 0, ok = 0;
   for (int it = 0; it < ITERS; it++) {
     if (it % 5000 == 0) fprintf(stderr, "it %d\n", it);
