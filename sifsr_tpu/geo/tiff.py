@@ -149,8 +149,11 @@ def read_geotiff(path: str) -> GeoTiff:
     sample_format = tags.get(_SAMPLE_FORMAT, (1,))[0]
     samples = tags.get(_SAMPLES_PER_PIXEL, (1,))[0]
     predictor = tags.get(_PREDICTOR, (1,))[0]
-    if samples != 1:
-        raise NotImplementedError(f"{path}: multi-band TIFF not supported ({samples} samples)")
+    planar = tags.get(_PLANAR_CONFIG, (1,))[0]
+    if samples != 1 and planar != 1:
+        raise NotImplementedError(
+            f"{path}: planar multi-band TIFF not supported (planar={planar})"
+        )
     dtype = _dtype_from(bits, sample_format, endian)
 
     def decode(raw: bytes, expected: int) -> bytes:
@@ -162,15 +165,19 @@ def read_geotiff(path: str) -> GeoTiff:
             return _unpackbits_decode(raw, expected)
         raise NotImplementedError(f"{path}: TIFF compression {compression} not supported")
 
+    # multi-band (chunky/PlanarConfig=1): samples interleave per pixel, so
+    # every decode below carries a trailing sample axis that squeezes away
+    # for the single-band case
     if _TILE_OFFSETS in tags:
         tw, tl = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
         tiles_across = (width + tw - 1) // tw
-        img = np.zeros((height, width), dtype=dtype)
+        img = np.zeros((height, width, samples), dtype=dtype)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             tile = np.frombuffer(
-                decode(data[off : off + cnt], tw * tl * dtype.itemsize), dtype=dtype
-            ).reshape(tl, tw)
+                decode(data[off : off + cnt], tw * tl * samples * dtype.itemsize),
+                dtype=dtype,
+            ).reshape(tl, tw, samples)
             if predictor == 2:
                 tile = np.cumsum(tile.astype(np.int64), axis=1).astype(dtype)
             r0 = (idx // tiles_across) * tl
@@ -182,12 +189,14 @@ def read_geotiff(path: str) -> GeoTiff:
         parts = []
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             rows = min(rows_per_strip, height - i * rows_per_strip)
-            raw = decode(data[off : off + cnt], rows * width * dtype.itemsize)
-            strip = np.frombuffer(raw, dtype=dtype).reshape(rows, width)
+            raw = decode(data[off : off + cnt], rows * width * samples * dtype.itemsize)
+            strip = np.frombuffer(raw, dtype=dtype).reshape(rows, width, samples)
             if predictor == 2:
                 strip = np.cumsum(strip.astype(np.int64), axis=1).astype(dtype)
             parts.append(strip)
         img = np.concatenate(parts, axis=0)
+    if samples == 1:
+        img = img[..., 0]
 
     geotransform = None
     if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:

@@ -182,3 +182,33 @@ def test_read_tiled_tiff(tmp_path, rng, compress, shape, tw, tl):
     p.write_bytes(_build_tiled_tiff(arr, tw, tl, compress=compress))
     g = read_geotiff(str(p))
     np.testing.assert_array_equal(g.array, arr)
+
+
+def _build_multiband_tiff(arr_hws):
+    """Chunky (PlanarConfig=1) multi-band float32 TIFF, one strip."""
+    import struct
+    h, w, s = arr_hws.shape
+    raw = arr_hws.astype("<f4").tobytes()  # interleaved by construction
+    ifd_off = 8 + len(raw)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, s), (278, 3, 1, h),
+        (279, 4, 1, len(raw)), (284, 3, 1, 1), (339, 3, 1, 3),
+    ]
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + raw
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)
+    return out
+
+
+def test_read_multiband_chunky(tmp_path, rng):
+    """2-band chunky TIFF (e.g. a GDAL-converted NIR/Red MOD09GQ) reads as
+    (H, W, S); single-band files keep returning (H, W)."""
+    arr = rng.normal(size=(12, 10, 2)).astype(np.float32)
+    p = tmp_path / "mb.tif"
+    p.write_bytes(_build_multiband_tiff(arr))
+    g = read_geotiff(str(p))
+    assert g.array.shape == (12, 10, 2)
+    np.testing.assert_array_equal(g.array, arr)
