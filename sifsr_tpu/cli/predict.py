@@ -5,8 +5,9 @@
         --MOD09GQ_file_path granule_refl.hdf|.tif ...
 
 Inputs may be MODIS .hdf granules (decoded by geo.hdf4) or GeoTIFFs (LST in
-Kelvin; for MOD09GQ either a precomputed NDVI tif via --ndvi_is_precomputed
-or a 2-band NIR/Red pair as two files). Output: predictions/prediction.tiff,
+Kelvin; for MOD09GQ a precomputed NDVI tif via --ndvi_is_precomputed, a
+NIR/Red pair as two files, or one chunky 2-band tif in MOD09GQ band order
+Red,NIR — e.g. a GDAL conversion). Output: predictions/prediction.tiff,
 georeferenced from the input's geotransform — no gdal_translate subprocess
 (reference predict.py:105-128).
 
@@ -44,6 +45,19 @@ def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
             g = read_geotiff(path)
             return g.array.astype(np.float32), g.geotransform
         nir = read_geotiff(path)
+        if red_path is None and nir.array.ndim == 3 and nir.array.shape[-1] == 2:
+            # one chunky 2-band file in MOD09GQ band order:
+            # band 1 = sur_refl_b01 (Red), band 2 = sur_refl_b02 (NIR)
+            return compute_ndvi(
+                nir.array[..., 1].astype(np.float64),
+                nir.array[..., 0].astype(np.float64),
+            ).astype(np.float32), nir.geotransform
+        if red_path is None:
+            raise SystemExit(
+                "--MOD09GQ_file_path is a single-band tif: pass the Red band "
+                "via --red_file_path, a 2-band NIR/Red tif, or "
+                "--ndvi_is_precomputed"
+            )
         red = read_geotiff(red_path)
         return compute_ndvi(nir.array.astype(np.float64), red.array.astype(np.float64)).astype(np.float32), nir.geotransform
     from sifsr_tpu.geo.hdf4 import read_modis_nir_red

@@ -98,3 +98,26 @@ def test_predict_granule_device_tiling_matches_host(rng, tiny_setup):
     dev = predict_granule(variables, lst, ndvi, device_tiling=True, **kw)
     assert dev.shape == host.shape == (512, 768)
     np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_load_ndvi_two_band_file(tmp_path, rng):
+    """predict accepts one chunky 2-band MOD09GQ tif (Red, NIR band order)."""
+    import numpy as np
+    from sifsr_tpu.cli.predict import _load_ndvi
+    from tests.test_geo_tiff import _build_multiband_tiff
+
+    red = (0.05 + 0.2 * rng.random((16, 16))).astype(np.float32)
+    nir = (0.2 + 0.5 * rng.random((16, 16))).astype(np.float32)
+    p = str(tmp_path / "mod09gq.tif")
+    with open(p, "wb") as f:
+        f.write(_build_multiband_tiff(np.stack([red, nir], axis=-1)))
+    ndvi, gt = _load_ndvi(p, None, False)
+    np.testing.assert_allclose(ndvi, (nir - red) / (nir + red), rtol=1e-5)
+
+    # single-band without --red_file_path: clear error, not a crash
+    import pytest
+    q = str(tmp_path / "nir_only.tif")
+    from sifsr_tpu.geo.tiff import write_geotiff
+    write_geotiff(q, nir)
+    with pytest.raises(SystemExit, match="red_file_path"):
+        _load_ndvi(q, None, False)
