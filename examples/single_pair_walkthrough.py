@@ -25,6 +25,10 @@ def main():
     parser.add_argument("--model-dir", default="/root/reference/models/modelB_1009")
     parser.add_argument("--statistics", default="data/statistics_testset.json")
     parser.add_argument("--figure", default="results/walkthrough_pair.png")
+    parser.add_argument("--crop", default="erosion", choices=("erosion", "reference"),
+                        help="'reference' reproduces the notebook cell-18 "
+                             "anchor (PSNR 22.25 / RMSE 1.95) exactly; "
+                             "'erosion' (default) excludes warp edge ramps")
     args = parser.parse_args()
 
     from sifsr_tpu.cli.model_perf import make_sr_fn
@@ -45,6 +49,7 @@ def main():
         os.path.join(args.dataset, "data", f"{args.pair}_aster_250m.tif"),
         lst_sr,
         return_crops=True,
+        crop_mode=args.crop,
     )
     # the notebook's cell-18 printout format (its values: PSNR 22.25,
     # SSIM 0.69, RMSE 1.95, ... with the original statistics.json)
