@@ -30,6 +30,25 @@ from sifsr_tpu.inference import predict_granule
 from sifsr_tpu.models.unet import ModelB2
 
 
+def load_variables(model_dir: str, model_name: str, model: ModelB2):
+    """Weights: our msgpack format, falling back to a torch state_dict."""
+    msgpack = os.path.join(model_dir, f"{model_name}_variables.msgpack")
+    torch_sd = os.path.join(model_dir, f"{model_name}_state_dict.pt")
+    if os.path.exists(msgpack):
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        template = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 2)), train=False)
+        with open(msgpack, "rb") as f:
+            return serialization.from_bytes(dict(template), f.read())
+    if os.path.exists(torch_sd):
+        from sifsr_tpu.models.convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(torch_sd)
+    raise FileNotFoundError(f"no weights under {model_dir}")
+
+
 def _load_lst(path: str):
     if path.endswith((".tif", ".tiff")):
         g = read_geotiff(path)
@@ -95,24 +114,7 @@ def main(argv=None):
 
     stats = Statistics.from_json(args.statistics)
     model = ModelB2()
-
-    # weights: our msgpack format, falling back to a torch state_dict
-    msgpack = os.path.join(args.model_dir, f"{args.model_name}_variables.msgpack")
-    torch_sd = os.path.join(args.model_dir, f"{args.model_name}_state_dict.pt")
-    if os.path.exists(msgpack):
-        import jax
-
-        from flax import serialization
-
-        template = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 2)), train=False)
-        with open(msgpack, "rb") as f:
-            variables = serialization.from_bytes(dict(template), f.read())
-    elif os.path.exists(torch_sd):
-        from sifsr_tpu.models.convert import load_torch_checkpoint
-
-        variables = load_torch_checkpoint(torch_sd)
-    else:
-        raise FileNotFoundError(f"no weights under {args.model_dir}")
+    variables = load_variables(args.model_dir, args.model_name, model)
 
     lst, lst_gt = _load_lst(args.MOD21A1D_file_path)
     ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
