@@ -49,13 +49,13 @@ def load_variables(model_dir: str, model_name: str, model: ModelB2):
     raise FileNotFoundError(f"no weights under {model_dir}")
 
 
-def _load_lst(path: str):
+def _load_lst(path: str, time: str = "day"):
     if path.endswith((".tif", ".tiff")):
         g = read_geotiff(path)
         return g.array.astype(np.float32), g.geotransform
     from sifsr_tpu.geo.hdf4 import read_modis_lst
 
-    return read_modis_lst(path, time="day")
+    return read_modis_lst(path, time=time)
 
 
 def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
@@ -92,6 +92,10 @@ def main(argv=None):
     parser.add_argument("--red_file_path", type=str, default=None,
                         help="Red-band tif when MOD09GQ path is a NIR tif")
     parser.add_argument("--ndvi_is_precomputed", action="store_true")
+    parser.add_argument("--time", default="day", choices=("day", "night"),
+                        help="LST_Day_1km or LST_Night_1km when the input "
+                             "is a MOD21A1 granule (reference predict.py is "
+                             "day-only)")
     parser.add_argument("--model_dir", type=str, default="weights/modelB_1009")
     parser.add_argument("--model_name", type=str, default="modelB")
     parser.add_argument("--statistics", type=str, default="data/statistics.json")
@@ -116,7 +120,7 @@ def main(argv=None):
     model = ModelB2()
     variables = load_variables(args.model_dir, args.model_name, model)
 
-    lst, lst_gt = _load_lst(args.MOD21A1D_file_path)
+    lst, lst_gt = _load_lst(args.MOD21A1D_file_path, time=args.time)
     ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
     print(f"LST {lst.shape}, NDVI {ndvi.shape}")
 

@@ -13,7 +13,8 @@ A job is a JSON file dropped into --watch:
     {"lst": "granule_lst.tif|.hdf", "ndvi": "ndvi.tif",
      "ndvi_is_precomputed": true, "out": "out/prediction.tiff"}
 
-  - "lst"  — MOD21A1D granule (.hdf) or LST GeoTIFF in Kelvin (required)
+  - "lst"  — MOD21A1D granule (.hdf) or LST GeoTIFF in Kelvin (required);
+             optional "time": "night" selects LST_Night_1km from a granule
   - "ndvi" — MOD09GQ granule (.hdf), precomputed-NDVI tif
              ("ndvi_is_precomputed": true), a chunky 2-band Red/NIR tif, or
              a NIR tif with "red" giving the Red tif
@@ -82,7 +83,7 @@ class _Server:
     def process(self, job: dict, default_out: str) -> str:
         import jax.numpy as jnp
 
-        lst, _ = _load_lst(job["lst"])
+        lst, _ = _load_lst(job["lst"], time=job.get("time", "day"))
         ndvi, ndvi_gt = _load_ndvi(job["ndvi"], job.get("red"),
                                    bool(job.get("ndvi_is_precomputed")))
         a = self.args
