@@ -147,8 +147,17 @@ class Tiff {
     // sample widths convert() doesn't handle, and products that overflow the
     // int64 pixel math (MODIS granules are <=4800^2; 2^40 px is generous)
     if (meta.width == 0 || meta.height == 0) return SIFSR_ERR_FORMAT;
-    if (meta.bits != 8 && meta.bits != 16 && meta.bits != 32 && meta.bits != 64)
-      return SIFSR_ERR_UNSUPPORTED;
+    // exactly the (sample_format, bits) combos convert() implements — any
+    // other valid TIFF (e.g. GDAL Int32) must fall back to the python
+    // reader, not silently decode to zeros
+    switch ((meta.sample_format << 8) | meta.bits) {
+      case (3 << 8) | 32: case (3 << 8) | 64:
+      case (1 << 8) | 8:  case (1 << 8) | 16:
+      case (2 << 8) | 16:
+        break;
+      default:
+        return SIFSR_ERR_UNSUPPORTED;
+    }
     if ((uint64_t)meta.width * (uint64_t)meta.height > (1ull << 40))
       return SIFSR_ERR_FORMAT;
     return 0;

@@ -49,6 +49,42 @@ def load_variables(model_dir: str, model_name: str, model: ModelB2):
     raise FileNotFoundError(f"no weights under {model_dir}")
 
 
+def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool):
+    """Build the int8 (XLA) or pallas serving step, statically calibrated on
+    up to 8 fully-valid 64x64 blocks of the given granule. Shared by the
+    predict CLI and the serving daemon."""
+    from sifsr_tpu.inference import tile_granule
+
+    lst_b, ndvi_b, _ = tile_granule(lst, np.clip(ndvi, -1, 1))
+    valid = (lst_b != 0).all(axis=(1, 2))
+    sel = np.nonzero(valid)[0][:8]
+    if sel.size == 0:
+        raise ValueError(
+            "quantized serving needs at least one fully-valid 64x64 LST "
+            "block to calibrate activation scales on; this granule has none "
+            "(every block contains 0 K fill) — serve it with the f32/bf16 "
+            "path, or calibrate on a different granule first"
+        )
+    if use_pallas:
+        from sifsr_tpu.models.pallas_serving import (
+            build_pallas_serving_params,
+            make_pallas_sr_step,
+        )
+
+        qparams = build_pallas_serving_params(variables, lst_b[sel], ndvi_b[sel], stats)
+        return make_pallas_sr_step(stats), qparams
+    from sifsr_tpu.models.quantized import (
+        calibrate_activation_scales,
+        make_int8_sr_step,
+        quantize_serving_params,
+    )
+
+    qparams = calibrate_activation_scales(
+        variables, quantize_serving_params(variables), lst_b[sel], ndvi_b[sel], stats
+    )
+    return make_int8_sr_step(stats), qparams
+
+
 def _load_lst(path: str, time: str = "day"):
     if path.endswith((".tif", ".tiff")):
         g = read_geotiff(path)
@@ -64,7 +100,13 @@ def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
             g = read_geotiff(path)
             return g.array.astype(np.float32), g.geotransform
         nir = read_geotiff(path)
-        if red_path is None and nir.array.ndim == 3 and nir.array.shape[-1] == 2:
+        if nir.array.ndim == 3:
+            if nir.array.shape[-1] != 2 or red_path is not None:
+                raise SystemExit(
+                    f"--MOD09GQ_file_path is a {nir.array.shape[-1]}-band "
+                    "tif: expected exactly 2 bands (Red, NIR) and no "
+                    "--red_file_path alongside it"
+                )
             # one chunky 2-band file in MOD09GQ band order:
             # band 1 = sur_refl_b01 (Red), band 2 = sur_refl_b02 (NIR)
             return compute_ndvi(
@@ -126,35 +168,7 @@ def main(argv=None):
 
     if args.int8 or args.pallas:
         # quantize + calibrate on a sample of the granule's own valid blocks
-        import numpy as _np
-
-        from sifsr_tpu.inference import tile_granule
-
-        lst_b, ndvi_b, grid = tile_granule(lst, _np.clip(ndvi, -1, 1))
-        valid = (lst_b != 0).all(axis=(1, 2))
-        sel = _np.nonzero(valid)[0][:8]
-        if args.pallas:
-            from sifsr_tpu.models.pallas_serving import (
-                build_pallas_serving_params,
-                make_pallas_sr_step,
-            )
-
-            qparams = build_pallas_serving_params(
-                variables, lst_b[sel], ndvi_b[sel], stats
-            )
-            step = make_pallas_sr_step(stats)
-        else:
-            from sifsr_tpu.models.quantized import (
-                calibrate_activation_scales,
-                make_int8_sr_step,
-                quantize_serving_params,
-            )
-
-            qparams = calibrate_activation_scales(
-                variables, quantize_serving_params(variables), lst_b[sel],
-                ndvi_b[sel], stats
-            )
-            step = make_int8_sr_step(stats)
+        step, qparams = make_quantized_step(variables, lst, ndvi, stats, args.pallas)
         # coverage=0: quantized paths zero any block containing invalid
         # (0 K) pixels, as the inline loop always did
         mosaic = predict_granule(

@@ -20,7 +20,11 @@ A job is a JSON file dropped into --watch:
              a NIR tif with "red" giving the Red tif
   - "out"  — output GeoTIFF path (default: <watch>/done/<job>.tiff)
 
-Jobs are processed oldest-first. Completed job files move to <watch>/done/,
+Jobs are processed oldest-first (file mtime). Files modified less than a
+grace window ago (half the poll interval, capped at 1 s) are left for the
+next poll so producers that write in place aren't read half-written —
+rename-into-place producers are picked up immediately on the next poll.
+Completed job files move to <watch>/done/,
 failures to <watch>/failed/ with a .err text next to them — one bad granule
 never takes the worker down. `--once` drains the backlog and exits (also the
 test mode); otherwise the daemon polls every --poll seconds until SIGTERM.
@@ -39,10 +43,15 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-from sifsr_tpu.cli.predict import _load_lst, _load_ndvi, load_variables
+from sifsr_tpu.cli.predict import (
+    _load_lst,
+    _load_ndvi,
+    load_variables,
+    make_quantized_step,
+)
 from sifsr_tpu.data.statistics import Statistics
 from sifsr_tpu.geo.tiff import write_geotiff
-from sifsr_tpu.inference import predict_granule, tile_granule
+from sifsr_tpu.inference import predict_granule
 from sifsr_tpu.models.unet import ModelB2
 
 __all__ = ["main"]
@@ -58,27 +67,13 @@ class _Server:
         self.step_params = None
 
     def _ensure_quantized(self, lst, ndvi):
+        # calibrated once, on the first granule that has valid blocks; a
+        # granule with none fails its own job with a clear error instead
+        # of poisoning the daemon-lifetime calibration
         if self.step is not None:
             return
-        lst_b, ndvi_b, _ = tile_granule(lst, np.clip(ndvi, -1, 1))
-        valid = (lst_b != 0).all(axis=(1, 2))
-        sel = np.nonzero(valid)[0][:8]
-        if self.args.pallas:
-            from sifsr_tpu.models.pallas_serving import (
-                build_pallas_serving_params, make_pallas_sr_step)
-
-            self.step_params = build_pallas_serving_params(
-                self.variables, lst_b[sel], ndvi_b[sel], self.stats)
-            self.step = make_pallas_sr_step(self.stats)
-        else:
-            from sifsr_tpu.models.quantized import (
-                calibrate_activation_scales, make_int8_sr_step,
-                quantize_serving_params)
-
-            self.step_params = calibrate_activation_scales(
-                self.variables, quantize_serving_params(self.variables),
-                lst_b[sel], ndvi_b[sel], self.stats)
-            self.step = make_int8_sr_step(self.stats)
+        self.step, self.step_params = make_quantized_step(
+            self.variables, lst, ndvi, self.stats, self.args.pallas)
 
     def process(self, job: dict, default_out: str) -> str:
         import jax.numpy as jnp
@@ -107,15 +102,31 @@ class _Server:
         return out
 
 
-def _drain(server, watch: str, log) -> int:
+def _drain(server, watch: str, log, should_stop=lambda: False,
+           grace: float = 1.0) -> int:
     done_dir = os.path.join(watch, "done")
     failed_dir = os.path.join(watch, "failed")
-    jobs = sorted(
-        f for f in os.listdir(watch)
-        if f.endswith(".json") and os.path.isfile(os.path.join(watch, f))
-    )
+    now = time.time()
+    jobs = []
+    for f in os.listdir(watch):
+        path = os.path.join(watch, f)
+        if not (f.endswith(".json") and os.path.isfile(path)):
+            continue
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            continue  # raced with the producer/another consumer
+        # grace window: a file modified milliseconds ago may still be being
+        # written (producers that don't rename into place); pick it up on
+        # the next poll rather than failing it on a half-written read
+        if now - mtime < grace:
+            continue
+        jobs.append((mtime, f))
+    jobs = [name for _, name in sorted(jobs)]  # oldest-first, as documented
     n = 0
     for name in jobs:
+        if should_stop():
+            break
         path = os.path.join(watch, name)
         stem = os.path.splitext(name)[0]
         t0 = time.perf_counter()
@@ -168,7 +179,9 @@ def main(argv=None):
     signal.signal(signal.SIGINT, _sigterm)
 
     while True:
-        n = _drain(server, args.watch, print)
+        n = _drain(server, args.watch, print,
+                   should_stop=lambda: stop["flag"],
+                   grace=0.0 if args.once else min(1.0, args.poll / 2))
         if args.once:
             print(f"[serve] --once: processed {n} job(s)")
             return
@@ -176,7 +189,11 @@ def main(argv=None):
             print("[serve] stopping")
             return
         if n == 0:
-            time.sleep(args.poll)
+            # sleep in short slices so SIGTERM is honoured promptly
+            # (PEP 475 restarts an interrupted sleep after the handler)
+            deadline = time.monotonic() + args.poll
+            while not stop["flag"] and time.monotonic() < deadline:
+                time.sleep(0.2)
 
 
 if __name__ == "__main__":

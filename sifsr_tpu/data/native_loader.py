@@ -78,7 +78,11 @@ def native_available() -> bool:
 
 
 def read_tiff(path: str) -> np.ndarray:
-    """Decode one single-band TIFF to float32 (native, python fallback)."""
+    """Decode one TIFF to float32 (native fast path, python fallback).
+
+    Single-band files return (H, W). Layouts the native decoder doesn't do
+    (tiled, PackBits, multi-band, exotic dtypes) go through the python
+    reader — multi-band then returns (H, W, S)."""
     lib = _load_library()
     if lib is None:
         from sifsr_tpu.geo.tiff import read_geotiff

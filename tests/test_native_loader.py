@@ -282,3 +282,29 @@ def test_tiled_tiff_falls_back_to_python(tmp_path, rng):
     write_geotiff(strip, arr)
     batch = load_batch([strip, p], height=24, width=40, mean=1.0, std=2.0)
     np.testing.assert_allclose(batch, np.stack([(arr - 1.0) / 2.0] * 2), rtol=1e-6)
+
+
+@needs_native
+def test_int32_tiff_falls_back_not_zeros(tmp_path, rng):
+    """An Int32 TIFF (GDAL-common, not in the native convert() set) must NOT
+    silently decode to zeros — the native parser reports UNSUPPORTED and the
+    python reader (which handles i4) decodes it."""
+    import struct
+    arr = rng.integers(-20000, 20000, (9, 7)).astype("<i4")
+    raw = arr.tobytes()
+    ifd_off = 8 + len(raw)
+    entries = [
+        (256, 3, 1, 7), (257, 3, 1, 9), (258, 3, 1, 32), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 9),
+        (279, 4, 1, len(raw)), (339, 3, 1, 2),
+    ]
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + raw
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)
+    p = str(tmp_path / "i32.tif")
+    with open(p, "wb") as f:
+        f.write(out)
+    got = read_tiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float32))

@@ -1,5 +1,7 @@
 """Mutation fuzz of the pure-python GeoTIFF fallback reader."""
 import random, time, tempfile, os
+
+os.makedirs('/tmp/fuzz', exist_ok=True)
 import numpy as np
 from sifsr_tpu.geo.tiff import read_geotiff, write_geotiff
 

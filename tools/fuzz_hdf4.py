@@ -2,6 +2,8 @@
 truncations / 4-byte splices on writer-produced files; any exception is
 acceptable except hangs, absurd allocations, or interpreter crashes."""
 import random, time, tempfile, os
+
+os.makedirs('/tmp/fuzz', exist_ok=True)
 import numpy as np
 from sifsr_tpu.geo import hdf4
 
