@@ -52,3 +52,50 @@ def test_serve_once_drains_spool(tmp_path, rng):
     for stem in ("b_bad", "c_not_json"):
         assert (watch / "failed" / f"{stem}.json").exists()
         assert (watch / "failed" / f"{stem}.err").read_text().strip()
+
+
+def test_drain_grace_window_and_order(tmp_path):
+    """_drain skips files younger than the grace window (half-written
+    producers) and processes the backlog oldest-first by mtime."""
+    import time
+    from sifsr_tpu.cli.serve import _drain
+
+    class StubServer:
+        def __init__(self):
+            self.seen = []
+
+        def process(self, job, default_out):
+            self.seen.append(job["id"])
+            return default_out
+
+    watch = tmp_path / "spool"
+    watch.mkdir()
+    # reverse-lexicographic names, forward mtimes: mtime must win
+    for i, name in enumerate(["z_first.json", "m_second.json", "a_third.json"]):
+        p = watch / name
+        p.write_text(json.dumps({"id": name.split("_")[0]}))
+        os.utime(p, (1000.0 + i, 1000.0 + i))
+    fresh = watch / "fresh.json"
+    fresh.write_text(json.dumps({"id": "fresh"}))  # now-mtime: inside grace
+
+    server = StubServer()
+    n = _drain(server, str(watch), lambda *a: None, grace=30.0)
+    assert server.seen == ["z", "m", "a"]
+    assert n == 3
+    assert fresh.exists()  # left for the next poll
+
+    # stop check halts between jobs
+    for i, name in enumerate(["j1.json", "j2.json"]):
+        p = watch / name
+        p.write_text(json.dumps({"id": name}))
+        os.utime(p, (2000.0 + i, 2000.0 + i))
+    server2 = StubServer()
+    calls = {"n": 0}
+
+    def stop_after_one():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    _drain(server2, str(watch), lambda *a: None, should_stop=stop_after_one,
+           grace=30.0)
+    assert server2.seen == ["j1.json"]
