@@ -47,6 +47,9 @@ def main(argv=None):
     parser.add_argument("--coverage", type=float, default=0.0)
     parser.add_argument("--window", type=int, default=64)
     parser.add_argument("--time", default="day", choices=["day", "night"])
+    parser.add_argument("--workers", type=int, default=1,
+                        help="granules processed concurrently (zlib decode "
+                             "releases the GIL, so threads scale with cores)")
     args = parser.parse_args(argv)
 
     from sifsr_tpu.geo.hdf4 import read_modis_lst, read_modis_nir_red
@@ -55,16 +58,15 @@ def main(argv=None):
     os.makedirs(args.out_ndvi, exist_ok=True)
 
     t0 = time_mod.time()
-    pair_rows = []
     lst_files = sorted(glob.glob(os.path.join(args.lst_dir, "*.hdf")))
     if not lst_files:
         parser.error(f"no .hdf granules under {args.lst_dir}")
 
-    for lst_path in lst_files:
+    def process_granule(lst_path: str) -> list:
         date = _date_of(lst_path)
         nirred_matches = glob.glob(os.path.join(args.nirred_dir, f"*A{date}*.hdf"))
         if not nirred_matches:
-            continue
+            return []
 
         lst, qc, lst_gt = read_modis_lst(lst_path, time=args.time, with_qc=True)
         patches = extract_lst_patches(
@@ -74,7 +76,7 @@ def main(argv=None):
             check_qc_bits=(args.product == "MOD11A1"),
         )
         if len(patches.block_index) == 0:
-            continue
+            return []
 
         red, nir, ndvi_gt = read_modis_nir_red(nirred_matches[0])
         ndvi_set, kept = extract_ndvi_windows(
@@ -83,6 +85,7 @@ def main(argv=None):
 
         stem_lst = os.path.basename(lst_path)[:-4]
         stem_ndvi = os.path.basename(nirred_matches[0])[:-4]
+        rows = []
         for k, serial in enumerate(ndvi_set.block_index):
             lst_k = np.nonzero(patches.block_index == serial)[0][0]
             lst_name = os.path.join(args.out_lst, f"{stem_lst}.{serial}.tiff")
@@ -91,11 +94,22 @@ def main(argv=None):
                           geotransform=tuple(patches.geotransforms[lst_k]))
             write_geotiff(ndvi_name, ndvi_set.patches[k].astype(np.float32),
                           geotransform=tuple(ndvi_set.geotransforms[k]))
-            pair_rows.append(
+            rows.append(
                 (lst_name, ndvi_name,
                  georeference_error(patches.geotransforms[lst_k], ndvi_set.geotransforms[k]))
             )
-        print(f"{stem_lst}: {len(ndvi_set.block_index)} pairs")
+        print(f"{stem_lst}: {len(rows)} pairs")
+        return rows
+
+    # manifest row order stays the sorted-granule order regardless of
+    # worker completion order (executor.map preserves input order)
+    if args.workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=args.workers) as pool:
+            per_granule = list(pool.map(process_granule, lst_files))
+    else:
+        per_granule = [process_granule(p) for p in lst_files]
+    pair_rows = [row for rows in per_granule for row in rows]
 
     df = pd.DataFrame(pair_rows, columns=("LST", "NDVI", "georef_error"))
     df[["LST", "NDVI"]].to_csv(args.pairs_out)

@@ -25,9 +25,11 @@ MODIS product readers apply the reference's scalings: LST DN x 0.02 K
 
 from __future__ import annotations
 
+import os
 import re
 import struct
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -276,7 +278,12 @@ class HDF4File:
                         self._sds_index[name] = ref
         return self._sds_index
 
-    def read_sds(self, name: str) -> np.ndarray:
+    def read_sds(self, name: str, dtype=None) -> np.ndarray:
+        """Read one SDS. `dtype` (optional) converts straight from the
+        big-endian payload into the requested native dtype in a single
+        numpy pass — the MODIS readers use it to avoid materialising the
+        intermediate native-endian integer array (the decode chain was
+        3 full-array copies; profiled at ~3 s per MOD09GQ granule)."""
         ndg_ref = self._index().get(name)
         if ndg_ref is None:
             raise KeyError(f"SDS {name!r} not found; have {self.sds_names()}")
@@ -288,7 +295,7 @@ class HDF4File:
         members = list(zip(members[0::2], members[1::2]))
 
         dims = None
-        dtype = None
+        sds_dtype = None
         data_ref = None
         for tag, ref in members:
             if tag == TAG_SDD:
@@ -305,29 +312,36 @@ class HDF4File:
                 nt = self._raw(nt_tag, nt_ref)
                 if len(nt) < 2 or nt[1] not in _NT_DTYPES:
                     raise HDF4Error(f"SDS {name!r}: unknown number type")
-                dtype = _NT_DTYPES[nt[1]]
+                sds_dtype = _NT_DTYPES[nt[1]]
             elif tag == TAG_SD:
                 data_ref = ref
         if dims is None or data_ref is None:
             raise HDF4Error(f"incomplete SDS {name!r}")
 
+        out_dtype = np.dtype(dtype) if dtype is not None else np.dtype(
+            np.dtype(sds_dtype).newbyteorder("=")
+        )
         if (TAG_SD, data_ref) not in self.dds and (TAG_SD | _EXT_BIT, data_ref) in self.dds:
             hdr = self._raw(TAG_SD | _EXT_BIT, data_ref)
             if struct.unpack(">h", hdr[:2])[0] == SPECIAL_CHUNKED:
-                return self._read_chunked(hdr, dims, dtype)
+                return self._read_chunked(hdr, dims, sds_dtype, out_dtype)
         payload = self._element(TAG_SD, data_ref)
-        expect = int(np.prod(dims)) * np.dtype(dtype).itemsize
+        expect = int(np.prod(dims)) * np.dtype(sds_dtype).itemsize
         if len(payload) < expect:
             raise HDF4Error(
                 f"SDS {name!r}: payload {len(payload)} B < expected {expect} B "
                 f"for dims {tuple(dims)}"
             )
-        return np.frombuffer(payload, dtype=dtype, count=int(np.prod(dims))).reshape(
+        return np.frombuffer(payload, dtype=sds_dtype, count=int(np.prod(dims))).reshape(
             dims
-        ).astype(np.dtype(dtype).newbyteorder("="))
+        ).astype(out_dtype)
 
-    def _read_chunked(self, hdr: bytes, dims, dtype) -> np.ndarray:
-        """SPECIAL_CHUNKED header + chunk-table vdata -> assembled array."""
+    def _read_chunked(self, hdr: bytes, dims, sds_dtype, out_dtype) -> np.ndarray:
+        """SPECIAL_CHUNKED header + chunk-table vdata -> assembled array.
+
+        Chunk payloads are resolved in a thread pool: real MODIS granules
+        store each chunk as an independently-deflated element and
+        zlib releases the GIL, so decompression scales with cores."""
         # layout: int16 special, uint8 version, int32 flag, int32 elem_tot,
         # int32 chunk_size(bytes), int32 nt_size, uint16 chk_tbl_tag,
         # uint16 chk_tbl_ref, uint16 sp_tag, uint16 sp_ref, int32 ndims,
@@ -351,17 +365,28 @@ class HDF4File:
         chk_tags = table["fields"]["chk_tag"].reshape(-1)
         chk_refs = table["fields"]["chk_ref"].reshape(-1)
 
-        item = np.dtype(dtype).itemsize
-        out = np.zeros(dim_lens, dtype=np.dtype(dtype).newbyteorder("="))
-        for k in range(table["nvert"]):
-            payload = self._element(int(chk_tags[k]), int(chk_refs[k]))
+        item = np.dtype(sds_dtype).itemsize
+        nchunks = table["nvert"]
+        if nchunks > 1:
+            with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+                payloads = list(pool.map(
+                    self._element,
+                    [int(t) for t in chk_tags[:nchunks]],
+                    [int(r) for r in chk_refs[:nchunks]],
+                ))
+        else:
+            payloads = [self._element(int(chk_tags[k]), int(chk_refs[k]))
+                        for k in range(nchunks)]
+        out = np.zeros(dim_lens, dtype=out_dtype)
+        for k in range(nchunks):
+            payload = payloads[k]
             need = int(np.prod(chunk_lens)) * item
             if len(payload) < need:
                 raise HDF4Error(
                     f"chunk {k}: payload {len(payload)} B < expected {need} B"
                 )
             chunk = np.frombuffer(
-                payload, dtype=dtype, count=int(np.prod(chunk_lens))
+                payload, dtype=sds_dtype, count=int(np.prod(chunk_lens))
             ).reshape(chunk_lens)
             sl = tuple(
                 slice(int(origins[k][d]) * chunk_lens[d],
@@ -370,7 +395,6 @@ class HDF4File:
             )
             clip = tuple(slice(0, s.stop - s.start) for s in sl)
             out[sl] = chunk[clip]
-        _ = item
         return out.reshape(dims)
 
     # -------------------------------------------------------- EOS metadata
@@ -417,8 +441,9 @@ def read_modis_lst(path: str, time: str = "day", with_qc: bool = False):
     qc_name = next((n for n in names if "QC" in n), None)
     if lst_name is None:
         raise KeyError(f"no LST SDS in {path}: {names}")
-    lst = f.read_sds(lst_name).astype(np.float32) * 0.02
-    qc = f.read_sds(qc_name).astype(np.uint8) if (with_qc and qc_name) else None
+    lst = f.read_sds(lst_name, dtype=np.float32)
+    lst *= 0.02
+    qc = f.read_sds(qc_name, dtype=np.uint8) if (with_qc and qc_name) else None
     gt = f.grid_geotransform()
     if with_qc:
         return lst, qc, gt
@@ -434,8 +459,10 @@ def read_modis_nir_red(path: str):
     nir_name = next((n for n in names if "b02" in n), None)
     if red_name is None or nir_name is None:
         raise KeyError(f"no b01/b02 SDS in {path}: {names}")
-    red = f.read_sds(red_name).astype(np.float32) * 1e-4
-    nir = f.read_sds(nir_name).astype(np.float32) * 1e-4
+    red = f.read_sds(red_name, dtype=np.float32)
+    red *= 1e-4
+    nir = f.read_sds(nir_name, dtype=np.float32)
+    nir *= 1e-4
     return red, nir, f.grid_geotransform()
 
 

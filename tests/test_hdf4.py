@@ -72,6 +72,24 @@ def test_read_modis_nir_red_scaling(tmp_path, rng):
     np.testing.assert_allclose(n, nir.astype(np.float32) * 1e-4, rtol=1e-5)
 
 
+def test_read_sds_dtype_fused_conversion(tmp_path, rng):
+    """read_sds(dtype=...) must equal the two-step read-then-astype chain
+    on plain and whole-element-deflate layouts (the MODIS readers rely on
+    it to skip the intermediate native-integer copy)."""
+    arr = (rng.random((33, 47)) * 30000 - 5000).astype(np.int16)
+    for deflate in (False, True):
+        path = str(tmp_path / f"d{deflate}.hdf")
+        write_hdf4_sds(path, {"sds": arr}, deflate=deflate)
+        f = HDF4File(path)
+        np.testing.assert_array_equal(
+            f.read_sds("sds", dtype=np.float32), arr.astype(np.float32)
+        )
+        # value-truncating conversion matches astype semantics too (QC path)
+        np.testing.assert_array_equal(
+            f.read_sds("sds", dtype=np.uint8), arr.astype(np.uint8)
+        )
+
+
 def test_missing_sds_raises(tmp_path, rng):
     path = str(tmp_path / "x.hdf")
     write_hdf4_sds(path, {"a": np.zeros((4, 4), np.float32)})

@@ -254,6 +254,9 @@ def test_chunked_with_per_chunk_deflate_and_edge_clip(tmp_path, rng):
     f = HDF4File(str(p))
     np.testing.assert_array_equal(f.read_sds("chunked_sds"),
                                   arr.astype(np.int16))
+    # fused-dtype read assembles per-chunk straight into the target dtype
+    np.testing.assert_array_equal(f.read_sds("chunked_sds", dtype=np.float32),
+                                  arr.astype(np.int16).astype(np.float32))
 
 
 def test_structmetadata_geotransform(tmp_path, rng):

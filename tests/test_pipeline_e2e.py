@@ -75,6 +75,20 @@ def test_full_lifecycle(tmp_path, rng, monkeypatch):
     pairs = pd.read_csv("data/pairs_day.csv")
     assert len(pairs) == 3 * 16  # 3 days x 16 blocks, all valid
 
+    # threaded granule workers must produce the identical manifest
+    process_main([
+        "--product", "MOD21A1D",
+        "--lst-dir", lst_dir,
+        "--nirred-dir", nir_dir,
+        "--out-lst", "data/geotiff_w2/LST",
+        "--out-ndvi", "data/geotiff_w2/NDVI",
+        "--pairs-out", "data/pairs_day_w2.csv",
+        "--workers", "2",
+    ])
+    pairs_w2 = pd.read_csv("data/pairs_day_w2.csv")
+    assert [os.path.basename(p) for p in pairs_w2["LST"]] == \
+           [os.path.basename(p) for p in pairs["LST"]]
+
     # 2. data_preparation: split + statistics
     from sifsr_tpu.cli.data_preparation import main as prep_main
 
