@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+import sys
 from argparse import ArgumentParser
 
 import numpy as np
@@ -368,7 +369,19 @@ def cmd_seasons(argv):
     if split_col is not None:
         df = df[df[split_col] == args.split]
     if args.time != "Both":
-        df = df[df["LST"].astype(str).str.contains(args.time, regex=False)]
+        mask = df["LST"].astype(str).str.contains(args.time, regex=False)
+        if not mask.any() and len(df) and "time" in df:
+            # manifests from older pipeline layouts carry no time segment in
+            # the path; fall back to the data_preparation 'time' column
+            # (day->'D'/night->'N', reference data_preparation.py writes 'D')
+            token = {"day": "D", "night": "N"}.get(args.time, args.time)
+            mask = df["time"].astype(str).isin((token, args.time))
+        if not mask.any() and len(df):
+            print(f"warning: --time {args.time} matched no rows of "
+                  f"{args.dataset_csv} (no path substring or 'time' column "
+                  "match) — pass --time Both to disable the filter",
+                  file=sys.stderr)
+        df = df[mask]
     # day-of-year from the MODIS A-date token in the LST path
     # (reference: i.split('.')[-6][5:], e.g. .../MOD21A1D.A2020123....tif)
     def doy(path: str) -> int:

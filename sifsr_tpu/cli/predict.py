@@ -85,24 +85,40 @@ def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool):
     return make_int8_sr_step(stats), qparams
 
 
+def _single_band(g, what: str) -> np.ndarray:
+    """Validate a GeoTIFF decoded for a single-band consumer: multi-band
+    reads come back (H, W, S) (geo/tiff.py) and would mis-shape the tiling
+    / normalisation downstream with a cryptic reshape error."""
+    if g.array.ndim != 2:
+        raise ValueError(
+            f"{what} is a {g.array.shape[-1]}-band TIFF: expected a "
+            "single-band raster"
+        )
+    return g.array
+
+
 def _load_lst(path: str, time: str = "day"):
+    """Load the 1 km LST granule. Raises ValueError on unusable input (the
+    CLIs convert that to a clean exit; cli/serve.py isolates it per job)."""
     if path.endswith((".tif", ".tiff")):
         g = read_geotiff(path)
-        return g.array.astype(np.float32), g.geotransform
+        return _single_band(g, "the LST input").astype(np.float32), g.geotransform
     from sifsr_tpu.geo.hdf4 import read_modis_lst
 
     return read_modis_lst(path, time=time)
 
 
 def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
+    """Load / compute the 250 m NDVI. Raises ValueError on unusable input."""
     if path.endswith((".tif", ".tiff")):
         if precomputed:
             g = read_geotiff(path)
-            return g.array.astype(np.float32), g.geotransform
+            return (_single_band(g, "the precomputed-NDVI input")
+                    .astype(np.float32), g.geotransform)
         nir = read_geotiff(path)
         if nir.array.ndim == 3:
             if nir.array.shape[-1] != 2 or red_path is not None:
-                raise SystemExit(
+                raise ValueError(
                     f"--MOD09GQ_file_path is a {nir.array.shape[-1]}-band "
                     "tif: expected exactly 2 bands (Red, NIR) and no "
                     "--red_file_path alongside it"
@@ -114,13 +130,16 @@ def _load_ndvi(path: str, red_path: str | None, precomputed: bool):
                 nir.array[..., 0].astype(np.float64),
             ).astype(np.float32), nir.geotransform
         if red_path is None:
-            raise SystemExit(
+            raise ValueError(
                 "--MOD09GQ_file_path is a single-band tif: pass the Red band "
                 "via --red_file_path, a 2-band NIR/Red tif, or "
                 "--ndvi_is_precomputed"
             )
         red = read_geotiff(red_path)
-        return compute_ndvi(nir.array.astype(np.float64), red.array.astype(np.float64)).astype(np.float32), nir.geotransform
+        return compute_ndvi(
+            _single_band(nir, "the NIR input").astype(np.float64),
+            _single_band(red, "the Red input").astype(np.float64),
+        ).astype(np.float32), nir.geotransform
     from sifsr_tpu.geo.hdf4 import read_modis_nir_red
 
     red, nir, gt = read_modis_nir_red(path)
@@ -162,8 +181,12 @@ def main(argv=None):
     model = ModelB2()
     variables = load_variables(args.model_dir, args.model_name, model)
 
-    lst, lst_gt = _load_lst(args.MOD21A1D_file_path, time=args.time)
-    ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path, args.ndvi_is_precomputed)
+    try:
+        lst, lst_gt = _load_lst(args.MOD21A1D_file_path, time=args.time)
+        ndvi, ndvi_gt = _load_ndvi(args.MOD09GQ_file_path, args.red_file_path,
+                                   args.ndvi_is_precomputed)
+    except ValueError as exc:  # unusable input -> clean CLI error
+        raise SystemExit(str(exc)) from exc
     print(f"LST {lst.shape}, NDVI {ndvi.shape}")
 
     if args.int8 or args.pallas:

@@ -41,9 +41,18 @@ def main(argv=None):
     parser.add_argument("--product", default="MOD21A1D", choices=["MOD11A1", "MOD21A1D"])
     parser.add_argument("--lst-dir", default="./data/hdf_files/MOD21A1D.061")
     parser.add_argument("--nirred-dir", default="./data/hdf_files/MOD09GQ.061")
-    parser.add_argument("--out-lst", default="./data/geotiff/LST")
-    parser.add_argument("--out-ndvi", default="./data/geotiff/NDVI")
-    parser.add_argument("--pairs-out", default="./data/pairs_day.csv")
+    # the default output dirs embed the time-of-day segment like the
+    # reference layout (process_modis.py:459,472 "data/geotiff/.../day"):
+    # downstream time filters (dataset.py:74-79 semantics, compare_methods
+    # seasons) select granules by a filename substring, so the path must
+    # carry it
+    parser.add_argument("--out-lst", default=None,
+                        help="default ./data/geotiff/LST/<time>")
+    parser.add_argument("--out-ndvi", default=None,
+                        help="default ./data/geotiff/NDVI/<time>")
+    parser.add_argument("--pairs-out", default=None,
+                        help="default ./data/pairs_<time>.csv (the reference "
+                             "writes pairs_day.csv, process_modis.py:489)")
     parser.add_argument("--coverage", type=float, default=0.0)
     parser.add_argument("--window", type=int, default=64)
     parser.add_argument("--time", default="day", choices=["day", "night"])
@@ -51,6 +60,12 @@ def main(argv=None):
                         help="granules processed concurrently (zlib decode "
                              "releases the GIL, so threads scale with cores)")
     args = parser.parse_args(argv)
+    if args.out_lst is None:
+        args.out_lst = f"./data/geotiff/LST/{args.time}"
+    if args.out_ndvi is None:
+        args.out_ndvi = f"./data/geotiff/NDVI/{args.time}"
+    if args.pairs_out is None:
+        args.pairs_out = f"./data/pairs_{args.time}.csv"
 
     from sifsr_tpu.geo.hdf4 import read_modis_lst, read_modis_nir_red
 

@@ -138,11 +138,19 @@ def _drain(server, watch: str, log, should_stop=lambda: False,
             shutil.move(path, os.path.join(done_dir, name))
             log(f"[serve] {name}: wrote {out} in {time.perf_counter() - t0:.2f}s")
         except Exception as exc:  # isolate failures per job
-            os.makedirs(failed_dir, exist_ok=True)
-            with open(os.path.join(failed_dir, f"{stem}.err"), "w") as f:
-                f.write(f"{type(exc).__name__}: {exc}\n")
-            shutil.move(path, os.path.join(failed_dir, name))
-            log(f"[serve] {name}: FAILED {type(exc).__name__}: {exc}")
+            # the isolation path itself must not take the daemon down: a
+            # second consumer (or the producer) may have moved/deleted the
+            # job file between the listing and here
+            try:
+                os.makedirs(failed_dir, exist_ok=True)
+                with open(os.path.join(failed_dir, f"{stem}.err"), "w") as f:
+                    f.write(f"{type(exc).__name__}: {exc}\n")
+                shutil.move(path, os.path.join(failed_dir, name))
+                log(f"[serve] {name}: FAILED {type(exc).__name__}: {exc}")
+            except OSError as exc2:
+                log(f"[serve] {name}: FAILED ({type(exc).__name__}: {exc}) "
+                    f"and could not be spooled to failed/ "
+                    f"({type(exc2).__name__}: {exc2}); skipping")
         n += 1
     return n
 

@@ -131,8 +131,10 @@ class ModisDataset(ArrayDataset):
             lst = load_batch(lst_paths, 64, 64)
             ndvi = load_batch(ndvi_paths, 256, 256)
         else:
-            lst = np.stack([read_geotiff(p).array for p in lst_paths]) if lst_paths else np.zeros((0, 64, 64), np.float32)
-            ndvi = np.stack([read_geotiff(p).array for p in ndvi_paths]) if ndvi_paths else np.zeros((0, 256, 256), np.float32)
+            from sifsr_tpu.data.native_loader import _read_band1
+
+            lst = np.stack([_read_band1(read_geotiff, p) for p in lst_paths]) if lst_paths else np.zeros((0, 64, 64), np.float32)
+            ndvi = np.stack([_read_band1(read_geotiff, p) for p in ndvi_paths]) if ndvi_paths else np.zeros((0, 256, 256), np.float32)
         lst, ndvi = normalize(lst.astype(np.float32), ndvi.astype(np.float32), stats, transf)
         super().__init__(lst, ndvi, stats)
         self.paths = list(zip(lst_paths, ndvi_paths))

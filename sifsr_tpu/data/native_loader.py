@@ -109,6 +109,18 @@ def read_tiff(path: str) -> np.ndarray:
     return out
 
 
+def _read_band1(read_geotiff, path: str) -> np.ndarray:
+    """Python-fallback single-raster read with a clear error for multi-band
+    inputs (geo/tiff.py returns (H, W, S) for those; training batches are
+    single-band by contract)."""
+    arr = read_geotiff(path).array
+    if arr.ndim != 2:
+        raise ValueError(
+            f"{path}: expected a single-band raster, got {arr.shape[-1]} bands"
+        )
+    return arr.astype(np.float32)
+
+
 def load_batch(
     paths: list[str],
     height: int,
@@ -122,7 +134,7 @@ def load_batch(
     if lib is None:
         from sifsr_tpu.geo.tiff import read_geotiff
 
-        out = np.stack([read_geotiff(p).array.astype(np.float32) for p in paths])
+        out = np.stack([_read_band1(read_geotiff, p) for p in paths])
         return (out - mean) / std
 
     out = np.empty((len(paths), height, width), np.float32)
@@ -142,7 +154,7 @@ def load_batch(
         # batch through the python reader (correctness over speed)
         from sifsr_tpu.geo.tiff import read_geotiff
 
-        full = np.stack([read_geotiff(p).array.astype(np.float32) for p in paths])
+        full = np.stack([_read_band1(read_geotiff, p) for p in paths])
         if full.shape[1:] != (height, width):
             raise IOError(
                 f"load_batch: decoded shape {full.shape[1:]} != ({height}, {width})"

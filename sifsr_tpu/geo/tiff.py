@@ -160,7 +160,12 @@ def read_geotiff(path: str) -> GeoTiff:
         if compression == 1:
             return raw
         if compression in (8, 32946):  # deflate / legacy deflate
-            return zlib.decompress(raw)
+            # bound the inflate to the strip/tile's expected size: a few-KB
+            # hostile payload must not balloon to GBs (same guard as the
+            # HDF4 reader); +1 so over-long streams fail the size check
+            # below instead of silently truncating
+            out = zlib.decompressobj().decompress(raw, expected + 1)
+            return out
         if compression == 32773:  # PackBits
             return _unpackbits_decode(raw, expected)
         raise NotImplementedError(f"{path}: TIFF compression {compression} not supported")

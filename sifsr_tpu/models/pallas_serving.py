@@ -359,11 +359,6 @@ def _pool_quant_i8(x_i8, s_in, s_out):
     return _quant(acc.astype(jnp.float32), 4.0 * s_out / s_in)
 
 
-def _up2_quant_i8(x_i8, s_in, s_out):
-    up = upsample_bilinear_x2_nhwc(x_i8.astype(jnp.float32) * s_in)
-    return _quant(up, s_out)
-
-
 def _prow_mid(pmid, pm_rows, hp: int, interpret: bool):
     """The U-Net mid chain (db1..db3, ub1, ub2 — reference model.py:596-604)
     as a pure pallas chain: pm_rows (N, 2048, 128) int8 (p=8 rows at 128²,

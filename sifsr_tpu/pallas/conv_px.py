@@ -47,6 +47,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# per-output-channel symmetric int8 quantization — the ONE rule shared by
+# every int8 serving path (models/quantized.py computes q with the f64
+# scale before narrowing the returned scale to f32, so the int8 kernels
+# here are bit-identical to the XLA int8 path's)
+from sifsr_tpu.models.quantized import _quantize_kernel as _quant_w
+
 __all__ = [
     "pack_prow_weights",
     "prow_leaf",
@@ -140,14 +146,6 @@ def pack_prow_weights(k: np.ndarray, p: int,
            (p - 1) * cout : p * cout] = k[tap, 2]
     return wm, wc
 
-
-def _quant_w(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-output-channel symmetric int8 quantization of an HWIO kernel
-    (same rule as models/quantized._quantize_kernel)."""
-    k = np.asarray(k, np.float64)
-    s = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
-    q = np.clip(np.round(k / s), -127, 127).astype(np.int8)
-    return q, s
 
 def prow_leaf(kernel, bias, p: int, s_in, s_out=None,
               post_scale=1.0, in_perm=None) -> dict:

@@ -123,6 +123,43 @@ def test_seasons_subcommand(tmp_path, capsys):
     assert "'Summer': 1" in printed
 
 
+def test_seasons_time_column_fallback(tmp_path, capsys):
+    """Manifests whose paths carry no time token (older pipeline layouts)
+    fall back to the data_preparation 'time' column (day->'D') instead of
+    silently plotting an empty histogram."""
+    rows = [{
+        "LST": f"data/geotiff/LST/MOD21A1D.A2020{day:03d}.h18v04.061.12.tif",
+        "NDVI": f"data/geotiff/NDVI/MOD09GQ.A2020{day:03d}.h18v04.061.12.tif",
+        "split": "Train",
+        "time": "D",
+    } for day in (30, 100, 200)]
+    csv = tmp_path / "ModisDatasetB.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = tmp_path / "seasons.png"
+    cm_main(["seasons", "--dataset-csv", str(csv), "--out", str(out)])
+    assert out.exists()
+    printed = capsys.readouterr().out
+    assert "'Winter': 1" in printed and "'Spring': 1" in printed
+    assert "'Summer': 1" in printed
+
+
+def test_seasons_warns_when_time_filter_empties(tmp_path, capsys):
+    """No path token and no 'time' column: the empty result is loud, with a
+    pointer to --time Both."""
+    rows = [{
+        "LST": "data/geotiff/LST/MOD21A1D.A2020100.h18v04.061.12.tif",
+        "NDVI": "data/geotiff/NDVI/MOD09GQ.A2020100.h18v04.061.12.tif",
+        "split": "Train",
+    }]
+    csv = tmp_path / "ModisDatasetB.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = tmp_path / "seasons.png"
+    cm_main(["seasons", "--dataset-csv", str(csv), "--out", str(out)])
+    captured = capsys.readouterr()
+    assert "matched no rows" in captured.err
+    assert "--time Both" in captured.err
+
+
 def test_regression_subcommand(tmp_path, capsys, rng):
     from sifsr_tpu.data.statistics import Statistics
     from sifsr_tpu.geo.tiff import write_geotiff

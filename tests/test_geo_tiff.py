@@ -203,6 +203,33 @@ def _build_multiband_tiff(arr_hws):
     return out
 
 
+def test_deflate_bomb_bounded(tmp_path):
+    """A few-KB strip that inflates to ~64 MB must fail cleanly (bounded
+    decompressobj, same guard as the HDF4 reader) instead of allocating the
+    whole payload: read_geotiff is the designated fallback for files the
+    native decoder rejects and for serve-daemon job inputs."""
+    import struct
+    import zlib
+
+    h = w = 4  # expected strip = 64 bytes
+    bomb = zlib.compress(b"\x00" * (64 * 2**20), 9)  # ~64 KB on disk
+    ifd_off = 8 + len(bomb)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32), (259, 3, 1, 8),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(bomb)), (339, 3, 1, 3),
+    ]
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + bomb
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)
+    p = tmp_path / "bomb.tif"
+    p.write_bytes(out)
+    with pytest.raises(ValueError):
+        read_geotiff(str(p))
+
+
 def test_read_multiband_chunky(tmp_path, rng):
     """2-band chunky TIFF (e.g. a GDAL-converted NIR/Red MOD09GQ) reads as
     (H, W, S); single-band files keep returning (H, W)."""

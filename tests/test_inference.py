@@ -114,10 +114,31 @@ def test_load_ndvi_two_band_file(tmp_path, rng):
     ndvi, gt = _load_ndvi(p, None, False)
     np.testing.assert_allclose(ndvi, (nir - red) / (nir + red), rtol=1e-5)
 
-    # single-band without --red_file_path: clear error, not a crash
+    # single-band without --red_file_path: clear library-level error
+    # (ValueError, not SystemExit — the serve daemon must be able to
+    # isolate it per job; the predict CLI converts it to a clean exit)
     import pytest
     q = str(tmp_path / "nir_only.tif")
     from sifsr_tpu.geo.tiff import write_geotiff
     write_geotiff(q, nir)
-    with pytest.raises(SystemExit, match="red_file_path"):
+    with pytest.raises(ValueError, match="red_file_path"):
         _load_ndvi(q, None, False)
+
+
+def test_load_single_band_consumers_reject_multiband(tmp_path, rng):
+    """Multi-band TIFFs read as (H, W, S) (geo/tiff.py); consumers that
+    require a single band must reject them with a clear error instead of
+    mis-shaping the tiling downstream."""
+    import numpy as np
+    import pytest
+    from sifsr_tpu.cli.predict import _load_lst, _load_ndvi
+    from tests.test_geo_tiff import _build_multiband_tiff
+
+    p = str(tmp_path / "mb.tif")
+    with open(p, "wb") as f:
+        f.write(_build_multiband_tiff(
+            rng.random((8, 8, 2)).astype(np.float32)))
+    with pytest.raises(ValueError, match="single-band"):
+        _load_lst(p)
+    with pytest.raises(ValueError, match="single-band"):
+        _load_ndvi(p, None, True)  # precomputed NDVI must be one band

@@ -99,3 +99,45 @@ def test_drain_grace_window_and_order(tmp_path):
     _drain(server2, str(watch), lambda *a: None, should_stop=stop_after_one,
            grace=30.0)
     assert server2.seen == ["j1.json"]
+
+
+def test_drain_survives_bad_input_and_vanished_job(tmp_path):
+    """Per-job isolation holds for library-level input errors (ValueError
+    from the loaders — a 3-band NDVI tif used to raise SystemExit and kill
+    the daemon) AND when the failure-isolation move itself races a second
+    consumer that removed the job file."""
+    import json as _json
+    from sifsr_tpu.cli.serve import _drain
+
+    watch = tmp_path / "spool"
+    watch.mkdir()
+    for i, name in enumerate(["a_bad.json", "b_vanishes.json", "c_good.json"]):
+        p = watch / name
+        p.write_text(_json.dumps({"id": name.split("_")[0]}))
+        os.utime(p, (1000.0 + i, 1000.0 + i))
+
+    class StubServer:
+        def __init__(self):
+            self.seen = []
+
+        def process(self, job, default_out):
+            self.seen.append(job["id"])
+            if job["id"] == "a":
+                raise ValueError("3-band tif: expected exactly 2 bands")
+            if job["id"] == "b":
+                os.unlink(watch / "b_vanishes.json")  # racing consumer
+                raise RuntimeError("boom")
+            return default_out
+
+    logs = []
+    server = StubServer()
+    n = _drain(server, str(watch), lambda m: logs.append(m), grace=30.0)
+    assert server.seen == ["a", "b", "c"]  # nothing killed the drain
+    assert n == 3
+    # a: isolated normally
+    assert (watch / "failed" / "a_bad.json").exists()
+    assert "2 bands" in (watch / "failed" / "a_bad.err").read_text()
+    # b: isolation move failed, logged as a skip, daemon lives on
+    assert any("could not be spooled" in m for m in logs)
+    # c: processed after both failures
+    assert (watch / "done" / "c_good.json").exists()
