@@ -107,6 +107,7 @@ def test_bf16_mixed_precision_learns():
     assert all(l.dtype == jnp.float32 for l in leaves)
 
 
+@pytest.mark.slow  # compiles TWO full train steps (fwd+bwd+Adam), ~50 s
 def test_remat_step_bit_identical():
     """config.remat wraps the forward+loss in jax.checkpoint — activations
     are recomputed in the backward pass (activation-HBM ceiling lifted for
