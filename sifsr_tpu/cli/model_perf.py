@@ -19,9 +19,45 @@ import numpy as np
 SR_TYPES = ("modelB", "bicubic", "TsHARP", "ATPRK", "AATPRK", "DMS")
 
 
+SERVING_PATHS = ("f32", "int8", "pallas", "prow")
+
+
+def _load_calibration_pairs(dataset: str, n: int = 32):
+    """First n usable test pairs, for the quantized paths' static activation
+    calibration (static per-tensor scales, the methodology behind
+    results/modelB_1009_{int8,pallas*}; see EVAL_RESULTS.md). Calibration is
+    one f32 forward over the batch, so a wider set costs seconds and tightens
+    the max-abs scales — 32 pairs measurably beats 8 on harness SSIM."""
+    import pandas as pd
+
+    from sifsr_tpu.eval.harness import load_test_pair
+
+    manifest = pd.read_csv(os.path.join(dataset, "dataset.csv"))
+    lsts, ndvis = [], []
+    for _, row in manifest.iterrows():
+        pair = load_test_pair(
+            os.path.join(dataset, "data", os.path.basename(row["MODIS patch"])))
+        if pair.ndvi.shape != (256, 256):
+            continue
+        lsts.append(pair.lst.astype(np.float32))
+        ndvis.append(pair.ndvi.astype(np.float32))
+        if len(lsts) == n:
+            break
+    if not lsts:
+        raise ValueError(f"no usable calibration pairs in {dataset}")
+    return np.stack(lsts), np.stack(ndvis)
+
+
 def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: bool = False,
-               dms_moving_window: int = 0):
-    """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin."""
+               dms_moving_window: int = 0, serving: str = "f32",
+               dataset: str | None = None, calib_pairs: int = 32):
+    """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin.
+
+    serving (modelB only): 'f32' reference path, or a quantized serving
+    path — 'int8' (static-calibrated XLA convs), 'pallas' (pallas front +
+    XLA int8 mid), 'prow' (full-pallas graph, the bench/predict --pallas
+    default). Quantized paths calibrate on the first `calib_pairs` usable
+    pairs of `dataset`."""
     if sr_type == "bicubic":
         from sifsr_tpu.baselines import bicubic_sr
 
@@ -85,6 +121,37 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
 
         variables = load_torch_checkpoint(torch_sd)
 
+    if serving != "f32":
+        if scale_invariance:
+            raise ValueError("--serving quantized paths are 256x256-input "
+                             "serving graphs; SC-Unet eval is f32-only")
+        cal_lst, cal_ndvi = _load_calibration_pairs(dataset, calib_pairs)
+        if serving == "int8":
+            from sifsr_tpu.models.quantized import (
+                calibrate_activation_scales, make_int8_sr_step,
+                quantize_serving_params)
+
+            params = calibrate_activation_scales(
+                variables, quantize_serving_params(variables),
+                cal_lst, cal_ndvi, stats)
+            step = make_int8_sr_step(stats)
+        else:
+            from sifsr_tpu.models.pallas_serving import (
+                build_pallas_serving_params, make_pallas_sr_step)
+
+            params = build_pallas_serving_params(
+                variables, cal_lst, cal_ndvi, stats)
+            step = make_pallas_sr_step(
+                stats, mid="prow" if serving == "prow" else "xla")
+
+        def fn(lst, ndvi):
+            out = step(params,
+                       jnp.asarray(lst, jnp.float32)[None],
+                       jnp.asarray(ndvi, jnp.float32)[None])
+            return np.asarray(out)[0]
+
+        return fn
+
     @jax.jit
     def sr_jit(lst, ndvi):
         lst_n = (lst - stats.mean_lst) / stats.std_lst
@@ -144,6 +211,16 @@ def main(argv=None):
                         help="DMS movingWindowSize in coarse px (0 = the "
                              "reference's patch-eval config; >0 enables the "
                              "Gao 2012 local regressors)")
+    parser.add_argument("--serving", default="f32", choices=SERVING_PATHS,
+                        help="modelB serving path: f32 reference, or a "
+                             "quantized path (int8 / pallas / prow — the "
+                             "full-pallas graph bench.py and predict "
+                             "--pallas use), statically calibrated on the "
+                             "first --calib-pairs usable test pairs")
+    parser.add_argument("--calib-pairs", type=int, default=32,
+                        help="pairs used for quantized-path activation "
+                             "calibration (one f32 forward; wider = tighter "
+                             "scales)")
     parser.add_argument("--crop", default="erosion",
                         choices=["erosion", "reference"],
                         help="common-area crop: 'erosion' (ramp-free, "
@@ -156,12 +233,15 @@ def main(argv=None):
     from sifsr_tpu.eval.lpips import LPIPS
 
     sr_fn = make_sr_fn(args.sr_type, args.model_dir, args.statistics, args.scale_invariance,
-                       dms_moving_window=args.dms_moving_window)
+                       dms_moving_window=args.dms_moving_window,
+                       serving=args.serving, dataset=args.dataset,
+                       calib_pairs=args.calib_pairs)
     lpips = LPIPS(args.vgg16_weights, args.lpips_weights)
     if not lpips.available:
         print("LPIPS weights not found offline — LPIPS column will be NaN")
 
-    out_dir = args.out or os.path.join(args.dataset, "results", args.sr_type)
+    sub = args.sr_type if args.serving == "f32" else f"{args.sr_type}_{args.serving}"
+    out_dir = args.out or os.path.join(args.dataset, "results", sub)
     df = run_evaluation(
         args.dataset,
         sr_fn,

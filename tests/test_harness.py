@@ -94,3 +94,43 @@ def test_reference_crop_reproduces_notebook_anchor():
     assert abs(ref["RMSE"] - 1.95) / 1.95 < 0.04
     # the crop choice is the pair-0 delta: erosion excludes the ramp zone
     assert ero["RMSE"] < 1.6 < ref["RMSE"]
+
+
+@needs_data
+def test_serving_flag_calibration_and_validation():
+    """model_perf --serving plumbing: calibration pairs load from the real
+    formatted dataset, and the SC-Unet eval mode refuses quantized paths."""
+    from sifsr_tpu.cli.model_perf import _load_calibration_pairs, make_sr_fn
+
+    lst, ndvi = _load_calibration_pairs("/root/reference/test_data_formatted",
+                                        n=8)
+    assert lst.shape == (8, 64, 64) and ndvi.shape == (8, 256, 256)
+    assert 250 < lst.mean() < 330
+
+    with pytest.raises(ValueError, match="f32-only"):
+        make_sr_fn("modelB", "weights/modelB_1009",
+                   "data/statistics_testset.json", scale_invariance=True,
+                   serving="int8",
+                   dataset="/root/reference/test_data_formatted")
+
+
+@needs_data
+@pytest.mark.slow  # calibrates + compiles the int8 serving graph on CPU
+def test_serving_flag_int8_matches_f32_on_real_pair():
+    """model_perf --serving int8 produces an SR within the quantization
+    tolerance of the f32 path on a real pair (the committed
+    results/modelB_1009_int8 methodology, now reproducible via the CLI)."""
+    from sifsr_tpu.cli.model_perf import make_sr_fn
+    from sifsr_tpu.eval.harness import load_test_pair
+
+    kw = dict(statistics="data/statistics_testset.json")
+    f32 = make_sr_fn("modelB", "weights/modelB_1009", **kw)
+    i8 = make_sr_fn("modelB", "weights/modelB_1009", serving="int8",
+                    dataset="/root/reference/test_data_formatted", **kw)
+    pair = load_test_pair(
+        "/root/reference/test_data_formatted/data/0_data_dict.pkl")
+    a = f32(pair.lst, pair.ndvi)
+    b = i8(pair.lst, pair.ndvi)
+    assert a.shape == b.shape == (256, 256)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 0.3, rmse
