@@ -85,15 +85,23 @@ def _qleaf(kernel, bias) -> dict:
 
 # ---------------------------------------------------------------- calibration
 
-def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
+def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats, quantile=None):
     """Run the f32 packed forward (models/packed.packed_forward graph) on
-    calibration patches, recording max|x| of every tensor that gets an int8
-    scale. Returns (record dict, mid-path input maxes dict)."""
+    calibration patches, recording max|x| (or the `quantile` of |x|, if
+    given) of every tensor that gets an int8 scale. Returns (record dict,
+    mid-path input maxes dict)."""
     rec: dict = {}
     mid_rec: dict = {}
 
+    if quantile is None:
+        def _amax(x):
+            return float(jnp.max(jnp.abs(x)))
+    else:
+        def _amax(x):
+            return float(jnp.quantile(jnp.abs(x).ravel(), quantile))
+
     def conv_mid(x, tree, path, relu=True):
-        mid_rec[path] = float(jnp.max(jnp.abs(x)))
+        mid_rec[path] = _amax(x)
         xx = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         y = lax.conv_general_dilated(
             xx, jnp.asarray(tree["kernel"]), (1, 1), "VALID",
@@ -120,11 +128,11 @@ def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
     mid, pk = pp["mid"], pp["packed"]
     c0 = 16
     x = _packed_concat(lst_up_p, 1, ndvi_p, 1)
-    rec["in1"] = float(jnp.max(jnp.abs(x)))
+    rec["in1"] = _amax(x)
     x = conv_packed(x, pk["in_conv1"], 2)
-    rec["in2"] = float(jnp.max(jnp.abs(x)))
+    rec["in2"] = _amax(x)
     s0p = conv_packed(x, pk["in_conv2"], c0)
-    rec["s0"] = float(jnp.max(jnp.abs(s0p)))
+    rec["s0"] = _amax(s0p)
 
     n, hh, ww, _ = s0p.shape
 
@@ -142,7 +150,7 @@ def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
         return down_body(x, tree, base)
 
     def rec_max(key, x):
-        rec[key] = float(jnp.max(jnp.abs(x)))
+        rec[key] = _amax(x)
         return x
 
     s1 = down_body(s0p.reshape(n, hh, ww, 4, c0).mean(axis=3), mid["db1"], ("db1",))
@@ -160,20 +168,26 @@ def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats):
         mid["ub2"]["convbloc"], ("ub2", "convbloc"))
     rec_max("m_u2", t)
     up_p = _packed_resize(t, jnp.asarray(_phase_matrices(t.shape[1], 2 * t.shape[1], "linear_ac")))
-    rec["up"] = float(jnp.max(jnp.abs(up_p)))
+    rec["up"] = _amax(up_p)
     u31 = conv_packed(_packed_concat(up_p, c0, s0p, c0), pk["ub3_conv1"], 2 * c0)
-    rec["u32"] = float(jnp.max(jnp.abs(u31)))
+    rec["u32"] = _amax(u31)
     u32 = conv_packed(u31, pk["ub3_conv2"], c0)
-    rec["ol"] = float(jnp.max(jnp.abs(u32)))
+    rec["ol"] = _amax(u32)
     return rec, mid_rec
 
 
 def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
-                                stats, headroom: float = 1.05) -> dict:
+                                stats, headroom: float = 1.05,
+                                calib_quantile: float | None = None) -> dict:
     """ModelB2 variables + calibration patches -> the full parameter tree for
-    make_pallas_sr_step. sample_lst (N,64,64) Kelvin, sample_ndvi (N,256,256)."""
+    make_pallas_sr_step. sample_lst (N,64,64) Kelvin, sample_ndvi (N,256,256).
+
+    calib_quantile: None uses batch max|x| per tensor (no clipping on the
+    calibration data); a quantile (e.g. 0.9999) clips that tail for tighter
+    scales."""
     pp = jax.device_get(pack_serving_params(variables))
-    rec, mid_rec = _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats)
+    rec, mid_rec = _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats,
+                                      quantile=calib_quantile)
     s = {k: v / 127.0 * headroom for k, v in rec.items()}
 
     pk = pp["packed"]

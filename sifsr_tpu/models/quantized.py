@@ -142,13 +142,18 @@ def make_int8_sr_step(stats):
 
 
 def calibrate_activation_scales(
-    variables: dict, qparams: dict, sample_lst, sample_ndvi, stats, headroom: float = 1.05
+    variables: dict, qparams: dict, sample_lst, sample_ndvi, stats, headroom: float = 1.05,
+    calib_quantile: float | None = None
 ) -> dict:
     """Run the f32 BN-folded forward on calibration patches, record max|input|
     of every conv, and write static 'in_scale' entries into ``qparams``.
 
     sample_lst (N,64,64) Kelvin, sample_ndvi (N,256,256). Returns the updated
-    quantized tree (in place semantics: new dict)."""
+    quantized tree (in place semantics: new dict).
+
+    calib_quantile: None records batch max|x| per conv input (no clipping on
+    calibration data); a quantile (e.g. 0.9999) clips that tail for tighter
+    scales (measured tradeoff in cli/model_perf --calib-quantile help)."""
     from sifsr_tpu.ops.resize import upsample_bicubic
 
     folded = fold_batchnorm(variables)
@@ -161,7 +166,11 @@ def calibrate_activation_scales(
     scales: dict = {}
 
     def record(path, arr):
-        scales[path] = float(jnp.max(jnp.abs(arr))) / 127.0 * headroom
+        if calib_quantile is None:
+            m = float(jnp.max(jnp.abs(arr)))
+        else:
+            m = float(jnp.quantile(jnp.abs(arr).ravel(), calib_quantile))
+        scales[path] = m / 127.0 * headroom
 
     def conv_f32(xx, leaf_path, relu=True):
         node = folded["params"]

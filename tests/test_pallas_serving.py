@@ -106,3 +106,30 @@ def test_predict_cli_pallas(tmp_path, rng, monkeypatch):
     pred = read_geotiff(out_dir + "/prediction.tiff")
     assert pred.array.shape == (512, 512)
     assert 280 < np.mean(pred.array) < 330
+
+
+def test_pallas_calib_quantile_tightens_scales(rng):
+    """build_pallas_serving_params(calib_quantile=...) must produce
+    uniformly tighter (or equal) input scales than the max-abs rule."""
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    cal_lst = (300.0 + 8.0 * rng.random((2, 64, 64))).astype(np.float32)
+    cal_ndvi = (0.4 + 0.4 * rng.random((2, 256, 256))).astype(np.float32)
+    pmax = build_pallas_serving_params(variables, cal_lst, cal_ndvi, STATS)
+    pq = build_pallas_serving_params(variables, cal_lst, cal_ndvi, STATS,
+                                     calib_quantile=0.999)
+
+    def scalars(t, out, key="in_scale"):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                if k == key:
+                    out.append(float(np.asarray(v).ravel()[0]))
+                else:
+                    scalars(v, out, key)
+        return out
+
+    a, b = scalars(pmax, []), scalars(pq, [])
+    assert len(a) == len(b) > 0
+    assert all(y <= x + 1e-9 for x, y in zip(a, b))
+    assert any(y < x * 0.999 for x, y in zip(a, b))

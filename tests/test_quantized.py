@@ -104,3 +104,38 @@ def test_int8_packed_path_quality(rng):
     b = np.asarray(i8p_step(qpp, jnp.asarray(cal_lst), jnp.asarray(cal_ndvi)))
     d = np.abs(a - b)
     assert np.sqrt((d**2).mean()) < 0.3
+
+
+def test_calibration_quantile_tightens_scales(rng):
+    """calib_quantile clips the |x| tail: every static in_scale must be
+    <= the max-abs rule's, strictly smaller for at least some convs, and
+    the step must still produce physical Kelvin output."""
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    lst = (305.0 + 4.0 * rng.random((2, 64, 64))).astype(np.float32)
+    ndvi = (0.4 + 0.4 * rng.random((2, 256, 256))).astype(np.float32)
+    qp_max = calibrate_activation_scales(
+        variables, quantize_serving_params(variables), lst, ndvi, STATS)
+    qp_q = calibrate_activation_scales(
+        variables, quantize_serving_params(variables), lst, ndvi, STATS,
+        calib_quantile=0.999)
+
+    def leaves(t, out):
+        if isinstance(t, dict):
+            if "in_scale" in t:
+                out.append(float(t["in_scale"]))
+            else:
+                for v in t.values():
+                    leaves(v, out)
+        return out
+
+    smax, sq = leaves(qp_max, []), leaves(qp_q, [])
+    assert len(smax) == len(sq) > 0
+    assert all(b <= a + 1e-9 for a, b in zip(smax, sq))
+    assert any(b < a * 0.999 for a, b in zip(smax, sq))
+
+    i8_step = make_int8_sr_step(STATS)
+    out = np.asarray(i8_step(qp_q, jnp.asarray(lst), jnp.asarray(ndvi)))
+    assert np.isfinite(out).all()
+    assert 280 < out.mean() < 330
