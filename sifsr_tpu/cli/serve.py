@@ -31,7 +31,7 @@ test mode); otherwise the daemon polls every --poll seconds until SIGTERM.
 
 For --int8/--pallas the activation scales are calibrated on the first
 granule's valid blocks and reused (static calibration: quality within
-0.006 K RMSE of f32 over the 80-pair harness, results/modelB_1009_pallas_prow).
+0.005 K RMSE of f32 over the 80-pair harness, results/modelB_1009_pallas_prow).
 """
 
 import json

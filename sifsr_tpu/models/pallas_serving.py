@@ -40,7 +40,8 @@ Numerical contract: equivalent to the BN-folded ModelB_2 forward (reference
 model.py:608-645) within int8 quantization error; measured end-to-end on
 the real released weights in tests/test_pallas_serving.py and on the full
 80-pair ASTER harness (EVAL_RESULTS.md, results/modelB_1009_pallas_prow/:
-RMSE -0.006 K / SSIM -0.002 vs f32).
+RMSE -0.005 K / SSIM -0.002 vs f32; reproduce with cli/model_perf
+--serving prow).
 """
 
 from __future__ import annotations
@@ -429,7 +430,7 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
 
     mid: 'prow' (default) runs the whole mid chain as p-row pallas kernels
     (pallas/conv_px) — the round-3 fast path (10.1k patches/s wall at batch
-    384, 80-pair harness RMSE -0.006 K vs f32) that removes the XLA mid's
+    384, 80-pair harness RMSE -0.005 K vs f32) that removes the XLA mid's
     quant/dequant elementwise passes and most XLA<->Pallas relayout copies;
     'xla' keeps the round-2 XLA int8 mid chain.
 
