@@ -49,10 +49,16 @@ def load_variables(model_dir: str, model_name: str, model: ModelB2):
     raise FileNotFoundError(f"no weights under {model_dir}")
 
 
-def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool):
+def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool,
+                        calib_quantile: float | None = None):
     """Build the int8 (XLA) or pallas serving step, statically calibrated on
     up to 8 fully-valid 64x64 blocks of the given granule. Shared by the
-    predict CLI and the serving daemon."""
+    predict CLI and the serving daemon.
+
+    calib_quantile defaults to None (max-abs scales, no clipping on the
+    calibration blocks) because deployment granules can exceed the first
+    granule's activation range; pass e.g. 0.9999 for the tighter-scale rule
+    the eval harness defaults to (see cli/model_perf --calib-quantile)."""
     from sifsr_tpu.inference import tile_granule
 
     lst_b, ndvi_b, _ = tile_granule(lst, np.clip(ndvi, -1, 1))
@@ -71,7 +77,9 @@ def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool):
             make_pallas_sr_step,
         )
 
-        qparams = build_pallas_serving_params(variables, lst_b[sel], ndvi_b[sel], stats)
+        qparams = build_pallas_serving_params(
+            variables, lst_b[sel], ndvi_b[sel], stats,
+            calib_quantile=calib_quantile)
         return make_pallas_sr_step(stats), qparams
     from sifsr_tpu.models.quantized import (
         calibrate_activation_scales,
@@ -80,7 +88,8 @@ def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool):
     )
 
     qparams = calibrate_activation_scales(
-        variables, quantize_serving_params(variables), lst_b[sel], ndvi_b[sel], stats
+        variables, quantize_serving_params(variables), lst_b[sel], ndvi_b[sel],
+        stats, calib_quantile=calib_quantile
     )
     return make_int8_sr_step(stats), qparams
 
@@ -173,6 +182,11 @@ def main(argv=None):
     parser.add_argument("--pallas", action="store_true",
                         help="fused Pallas pair-conv int8 serving (the fastest "
                              "path; granule-self-calibrated like --int8)")
+    parser.add_argument("--calib-quantile", type=float, default=None,
+                        help="int8/pallas: clip activation scales to this "
+                             "|x|-quantile over the calibration blocks "
+                             "instead of max-abs (default: max-abs — safe "
+                             "for granules hotter/colder than the first)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -191,7 +205,8 @@ def main(argv=None):
 
     if args.int8 or args.pallas:
         # quantize + calibrate on a sample of the granule's own valid blocks
-        step, qparams = make_quantized_step(variables, lst, ndvi, stats, args.pallas)
+        step, qparams = make_quantized_step(variables, lst, ndvi, stats, args.pallas,
+                                            calib_quantile=args.calib_quantile)
         # coverage=0: quantized paths zero any block containing invalid
         # (0 K) pixels, as the inline loop always did
         mosaic = predict_granule(

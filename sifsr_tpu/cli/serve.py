@@ -73,7 +73,8 @@ class _Server:
         if self.step is not None:
             return
         self.step, self.step_params = make_quantized_step(
-            self.variables, lst, ndvi, self.stats, self.args.pallas)
+            self.variables, lst, ndvi, self.stats, self.args.pallas,
+            calib_quantile=self.args.calib_quantile)
 
     def process(self, job: dict, default_out: str) -> str:
         import jax.numpy as jnp
@@ -167,6 +168,9 @@ def main(argv=None):
     parser.add_argument("--f32", action="store_true")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--calib-quantile", type=float, default=None,
+                        help="int8/pallas: |x|-quantile activation-scale "
+                             "clipping (default max-abs; see predict --help)")
     parser.add_argument("--poll", type=float, default=2.0,
                         help="spool poll interval (seconds)")
     parser.add_argument("--once", action="store_true",
