@@ -148,7 +148,9 @@ def bench_serving():
             reps = 4
             modes = {}
             for name, mkw in (("host_pipeline", {}),
-                              ("device_tiling", {"device_tiling": True})):
+                              ("device_tiling", {"device_tiling": True}),
+                              ("device_tiling_wire",
+                               {"device_tiling": True, "wire": "int"})):
                 predict_granule(None, lst_g, ndvi_g, **kw, **mkw)  # warm
                 best_rep = float("inf")
                 for _ in range(reps):
@@ -161,11 +163,13 @@ def bench_serving():
             dt = modes[mode] * reps
             n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
 
-            # attribute the granule wall: each batch ships ~29 MB of tiles
-            # up and ~28 MB of SR down, so on this harness the number is
-            # bound by the axon tunnel's host<->device link (~0.4 GB/s),
+            # attribute the granule wall: the f32 modes ship ~90 MB up and
+            # ~85 MB down per granule, so on this harness the number is
+            # bound by the axon tunnel's host<->device link (~0.02 GB/s),
             # not by the pipeline (a real TPU host's PCIe moves the same
-            # bytes ~50x faster, overlapped by the double buffering).
+            # bytes ~500x faster, overlapped by the double buffering); the
+            # wire mode halves every transfer (uint16/int16 — lossless for
+            # MODIS-native data, inference.encode_wire).
             # block_until_ready is a no-op through the tunnel, so force the
             # upload to complete with a dependent scalar read per rep; the
             # probe is large (92 MB) to keep the sync round-trip <1% of dt.

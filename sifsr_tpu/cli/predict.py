@@ -187,6 +187,12 @@ def main(argv=None):
                              "|x|-quantile over the calibration blocks "
                              "instead of max-abs (default: max-abs — safe "
                              "for granules hotter/colder than the first)")
+    parser.add_argument("--wire", default="f32", choices=("f32", "int"),
+                        help="host<->device transfer format: 'int' ships "
+                             "uint16 LST / int16 NDVI and a uint16 mosaic "
+                             "(half the bytes; lossless for MODIS-native "
+                             "data — the right choice on a slow accelerator "
+                             "link)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -214,6 +220,7 @@ def main(argv=None):
             batch_size=args.batch_size, overlap=args.overlap,
             coverage=0.0, sr_step=step, step_params=qparams,
             device_tiling=args.device_tiling,
+            wire=None if args.wire == "f32" else args.wire,
         )
     else:
         mosaic = predict_granule(
@@ -221,6 +228,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
             overlap=args.overlap, device_tiling=args.device_tiling,
+            wire=None if args.wire == "f32" else args.wire,
         )
 
     os.makedirs(args.save_path, exist_ok=True)

@@ -112,9 +112,39 @@ def make_sr_step(
     return sr_step
 
 
+# integer wire formats for the host<->device link (predict_granule wire="int"):
+# MODIS-native quantisation steps, so encoding real granules is LOSSLESS
+# (MOD21/MOD11 LST is uint16 at 0.02 K; MODIS NDVI products are int16 at 1e-4)
+WIRE_LST_STEP = 0.02   # K per LSB, uint16
+WIRE_NDVI_STEP = 1e-4  # per LSB, int16
+
+
+def encode_wire(lst: np.ndarray, ndvi: np.ndarray):
+    """f32 Kelvin / NDVI -> (uint16, int16) wire arrays (2 bytes/px)."""
+    lst_w = np.clip(np.round(lst / WIRE_LST_STEP), 0, 65535).astype(np.uint16)
+    ndvi_w = np.clip(np.round(ndvi / WIRE_NDVI_STEP),
+                     -32768, 32767).astype(np.int16)
+    return lst_w, ndvi_w
+
+
+def _wire_step(sr_step):
+    """Wrap a serving step with on-device wire decode/encode: inputs arrive
+    as uint16/int16, the SR mosaic leaves as uint16 Kelvin/0.02 — halving
+    every transfer on the host<->device link."""
+    @jax.jit
+    def step(params, lst_w, ndvi_w):
+        lst = lst_w.astype(jnp.float32) * WIRE_LST_STEP
+        ndvi = ndvi_w.astype(jnp.float32) * WIRE_NDVI_STEP
+        sr = sr_step(params, lst, ndvi)
+        return jnp.clip(jnp.round(sr / WIRE_LST_STEP),
+                        0, 65535).astype(jnp.uint16)
+
+    return step
+
+
 @functools.lru_cache(maxsize=8)
 def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
-                      bs: int, coverage: float):
+                      bs: int, coverage: float, wire: bool = False):
     """Jitted all-on-device granule program for predict_granule's
     device_tiling mode, cached per (sr_step, geometry) so repeated granules
     of the same shape reuse the compiled executable."""
@@ -122,6 +152,8 @@ def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
     nt = gh * gw
     k = -(-nt // bs)
     pad = k * bs - nt
+    if wire:
+        sr_step = _wire_step(sr_step)
 
     @jax.jit
     def run_device(lst_g, ndvi_g, params):
@@ -131,7 +163,8 @@ def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
         ndvi_t = (ndvi_g[: gh * fwin, : gw * fwin]
                   .reshape(gh, fwin, gw, fwin)
                   .transpose(0, 2, 1, 3).reshape(nt, fwin, fwin))
-        keep = (lst_t == 0.0).mean(axis=(1, 2)) <= coverage
+        keep = (lst_t == 0).mean(axis=(1, 2),
+                                 dtype=jnp.float32) <= coverage
         if pad:
             lst_t = jnp.concatenate(
                 [lst_t, jnp.zeros((pad, window, window), lst_t.dtype)])
@@ -142,7 +175,7 @@ def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
             (lst_t.reshape(k, bs, window, window),
              ndvi_t.reshape(k, bs, fwin, fwin)))
         sr = sr.reshape(k * bs, fwin, fwin)[:nt]
-        sr = jnp.where(keep[:, None, None], sr, 0.0)
+        sr = jnp.where(keep[:, None, None], sr, jnp.zeros((), sr.dtype))
         return (sr.reshape(gh, gw, fwin, fwin)
                 .transpose(0, 2, 1, 3).reshape(gh * fwin, gw * fwin))
 
@@ -167,6 +200,7 @@ def predict_granule(
     step_params=None,
     pipeline_depth: int = 3,
     device_tiling: bool = False,
+    wire: str | None = None,
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -201,6 +235,15 @@ def predict_granule(
     2·n_batches round trips). The right choice whenever the host<->device
     link is the bottleneck; the host pipeline remains for mesh sharding,
     overlap blending, and granules larger than device memory.
+
+    wire="int" ships LST as uint16 (0.02 K/LSB — the MODIS-native encoding,
+    so real granules encode LOSSLESSLY), NDVI as int16 (1e-4/LSB, ditto)
+    and the SR mosaic back as uint16 Kelvin/0.02: every host<->device
+    transfer halves. Decode/encode run on device inside the jit. Output
+    error vs wire=None is bounded by the 0.01 K output rounding plus the
+    model's response to <=5e-5 NDVI rounding — far below the ~2 K sensor
+    accuracy (and zero for inputs that came from real MODIS files).
+    Not combined with mesh (the sharded wrapper device_puts f32 batches).
     """
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
@@ -209,6 +252,18 @@ def predict_granule(
         model = model or ModelB2()
         sr_step = make_sr_step(model, stats, compute_dtype)
         step_params = variables
+
+    if wire not in (None, "int"):
+        raise ValueError(f"wire must be None or 'int', got {wire!r}")
+    if wire == "int":
+        if mesh is not None:
+            raise ValueError("wire='int' is a single-device transfer "
+                             "optimisation; use wire=None with mesh")
+        lst_granule, ndvi_granule = encode_wire(lst_granule, ndvi_granule)
+        base_wire_step = sr_step
+        decode_out = lambda a: np.asarray(a, np.float32) * WIRE_LST_STEP
+    else:
+        decode_out = np.asarray
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -230,10 +285,11 @@ def predict_granule(
         from collections import deque
 
         pending: deque = deque()
+        batch_step = _wire_step(base_wire_step) if wire == "int" else sr_step
 
         def drain():
             s0, s1, dev = pending.popleft()
-            consume(s0, s1, np.asarray(dev))
+            consume(s0, s1, decode_out(dev))
 
         for start in range(0, n, batch_size):
             stop = min(start + batch_size, n)
@@ -241,10 +297,10 @@ def predict_granule(
             lst_b = lst_blocks[start:stop]
             ndvi_b = ndvi_blocks[start:stop]
             if pad:  # static shapes: pad the tail batch
-                lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), np.float32)])
-                ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), np.float32)])
+                lst_b = np.concatenate([lst_b, np.zeros((pad, window, window), lst_b.dtype)])
+                ndvi_b = np.concatenate([ndvi_b, np.zeros((pad, fwin, fwin), ndvi_b.dtype)])
             pending.append(
-                (start, stop, sr_step(step_params, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
+                (start, stop, batch_step(step_params, jnp.asarray(lst_b), jnp.asarray(ndvi_b)))
             )
             if len(pending) >= max(pipeline_depth, 1):
                 drain()
@@ -263,8 +319,9 @@ def predict_granule(
         gh = lst_granule.shape[0] // window
         gw = lst_granule.shape[1] // window
         run_device = _device_tiling_fn(sr_step, window, factor, gh, gw,
-                                       min(batch_size, gh * gw), coverage)
-        return np.asarray(run_device(jnp.asarray(lst_granule),
+                                       min(batch_size, gh * gw), coverage,
+                                       wire=(wire == "int"))
+        return decode_out(run_device(jnp.asarray(lst_granule),
                                      jnp.asarray(ndvi_granule), step_params))
 
     if overlap == 0:

@@ -142,3 +142,34 @@ def test_load_single_band_consumers_reject_multiband(tmp_path, rng):
         _load_lst(p)
     with pytest.raises(ValueError, match="single-band"):
         _load_ndvi(p, None, True)  # precomputed NDVI must be one band
+
+
+def test_predict_granule_wire_int_matches_f32(rng, tiny_setup):
+    """wire='int' (uint16 LST / int16 NDVI up, uint16 Kelvin/0.02 down —
+    half the transfer bytes) must match the f32-wire result within the
+    0.01 K output rounding plus the model's response to the <=5e-5 NDVI
+    encode rounding, on both the host pipeline and device tiling."""
+    model, variables = tiny_setup
+    lst = (300 + 5 * rng.random((128, 192))).astype(np.float32)
+    lst[:64, :64] = 0.0  # invalid block must survive the wire encode
+    ndvi = (rng.random((512, 768)) * 0.8).astype(np.float32)
+
+    kw = dict(stats=STATS, model=model, batch_size=2, coverage=0.5,
+              compute_dtype=jnp.float32)
+    ref = predict_granule(variables, lst, ndvi, **kw)
+    for mode in (dict(), dict(device_tiling=True)):
+        out = predict_granule(variables, lst, ndvi, wire="int", **mode, **kw)
+        assert out.shape == ref.shape and out.dtype == np.float32
+        assert np.all(out[:256, :256] == 0.0)  # coverage zeroing intact
+        valid = ref != 0.0
+        assert np.abs(out[valid] - ref[valid]).max() < 0.05
+
+    # MODIS-native inputs (already on the 0.02 K / 1e-4 grids) encode
+    # losslessly: only the output rounding remains
+    lst_q = np.round(lst / 0.02) * 0.02
+    ndvi_q = np.round(ndvi / 1e-4).astype(np.float32) * 1e-4
+    ref_q = predict_granule(variables, lst_q, ndvi_q, **kw)
+    out_q = predict_granule(variables, lst_q, ndvi_q, wire="int", **kw)
+    valid = ref_q != 0.0
+    # half an output LSB (0.01 K) plus f32-representation noise on the grid
+    assert np.abs(out_q[valid] - ref_q[valid]).max() <= 0.011
