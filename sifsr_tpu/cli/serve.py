@@ -89,13 +89,15 @@ class _Server:
                 self.variables, lst, ndvi, self.stats,
                 batch_size=a.batch_size, overlap=a.overlap, coverage=0.0,
                 sr_step=self.step, step_params=self.step_params,
-                device_tiling=a.device_tiling)
+                device_tiling=a.device_tiling,
+                wire=None if a.wire == "f32" else a.wire)
         else:
             mosaic = predict_granule(
                 self.variables, lst, ndvi, self.stats, model=self.model,
                 batch_size=a.batch_size,
                 compute_dtype=jnp.float32 if a.f32 else jnp.bfloat16,
-                overlap=a.overlap, device_tiling=a.device_tiling)
+                overlap=a.overlap, device_tiling=a.device_tiling,
+                wire=None if a.wire == "f32" else a.wire)
         out = job.get("out", default_out)
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         write_geotiff(out, mosaic.astype(np.float32), geotransform=ndvi_gt,
@@ -171,6 +173,9 @@ def main(argv=None):
     parser.add_argument("--calib-quantile", type=float, default=None,
                         help="int8/pallas: |x|-quantile activation-scale "
                              "clipping (default max-abs; see predict --help)")
+    parser.add_argument("--wire", default="f32", choices=("f32", "int"),
+                        help="host<->device transfer format (see predict "
+                             "--help; 'int' halves every granule transfer)")
     parser.add_argument("--poll", type=float, default=2.0,
                         help="spool poll interval (seconds)")
     parser.add_argument("--once", action="store_true",
