@@ -19,7 +19,7 @@ import numpy as np
 SR_TYPES = ("modelB", "bicubic", "TsHARP", "ATPRK", "AATPRK", "DMS")
 
 
-SERVING_PATHS = ("f32", "int8", "pallas", "prow")
+SERVING_PATHS = ("f32", "bf16", "int8", "pallas", "prow")
 
 
 def _load_calibration_pairs(dataset: str, n: int = 32):
@@ -54,11 +54,12 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
                calib_quantile: float | None = None):
     """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin.
 
-    serving (modelB only): 'f32' reference path, or a quantized serving
-    path — 'int8' (static-calibrated XLA convs), 'pallas' (pallas front +
-    XLA int8 mid), 'prow' (full-pallas graph, the bench/predict --pallas
-    default). Quantized paths calibrate on the first `calib_pairs` usable
-    pairs of `dataset`."""
+    serving (modelB only): 'f32' reference path, or a fast serving path —
+    'bf16' (BN-folded bf16 forward, the serve daemon's default), 'int8'
+    (static-calibrated XLA convs), 'pallas' (pallas front + XLA int8 mid),
+    'prow' (full-pallas graph, the bench/predict --pallas default).
+    Quantized paths calibrate on the first `calib_pairs` usable pairs of
+    `dataset`."""
     if sr_type == "bicubic":
         from sifsr_tpu.baselines import bicubic_sr
 
@@ -124,8 +125,22 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
 
     if serving != "f32":
         if scale_invariance:
-            raise ValueError("--serving quantized paths are 256x256-input "
+            raise ValueError("--serving fast paths are 256x256-input "
                              "serving graphs; SC-Unet eval is f32-only")
+        if serving == "bf16":
+            # the serve daemon's default path: BN-folded bf16 forward
+            # (inference.make_sr_step) — no calibration needed
+            from sifsr_tpu.inference import make_sr_step
+
+            bstep = make_sr_step(model, stats, compute_dtype=jnp.bfloat16)
+
+            def fn(lst, ndvi):
+                out = bstep(variables,
+                            jnp.asarray(lst, jnp.float32)[None],
+                            jnp.asarray(ndvi, jnp.float32)[None])
+                return np.asarray(out)[0]
+
+            return fn
         cal_lst, cal_ndvi = _load_calibration_pairs(dataset, calib_pairs)
         if serving == "int8":
             from sifsr_tpu.models.quantized import (
@@ -214,10 +229,11 @@ def main(argv=None):
                              "reference's patch-eval config; >0 enables the "
                              "Gao 2012 local regressors)")
     parser.add_argument("--serving", default="f32", choices=SERVING_PATHS,
-                        help="modelB serving path: f32 reference, or a "
+                        help="modelB serving path: f32 reference, bf16 "
+                             "(BN-folded, the serve daemon default), or a "
                              "quantized path (int8 / pallas / prow — the "
                              "full-pallas graph bench.py and predict "
-                             "--pallas use), statically calibrated on the "
+                             "--pallas use) statically calibrated on the "
                              "first --calib-pairs usable test pairs")
     parser.add_argument("--calib-pairs", type=int, default=32,
                         help="pairs used for quantized-path activation "

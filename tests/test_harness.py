@@ -134,3 +134,24 @@ def test_serving_flag_int8_matches_f32_on_real_pair():
     assert a.shape == b.shape == (256, 256)
     rmse = float(np.sqrt(np.mean((a - b) ** 2)))
     assert rmse < 0.3, rmse
+
+
+@needs_data
+@pytest.mark.slow  # compiles the BN-folded bf16 serving graph on CPU
+def test_serving_flag_bf16_matches_f32_on_real_pair():
+    """model_perf --serving bf16 (the serve daemon default) vs f32 on a real
+    pair: the full-harness run shows identical means to 4 decimals
+    (results/modelB_1009_bf16); per-pixel the bf16 forward stays within
+    ~0.1 K."""
+    from sifsr_tpu.cli.model_perf import make_sr_fn
+    from sifsr_tpu.eval.harness import load_test_pair
+
+    kw = dict(statistics="data/statistics_testset.json")
+    f32 = make_sr_fn("modelB", "weights/modelB_1009", **kw)
+    bf16 = make_sr_fn("modelB", "weights/modelB_1009", serving="bf16", **kw)
+    pair = load_test_pair(
+        "/root/reference/test_data_formatted/data/0_data_dict.pkl")
+    a = f32(pair.lst, pair.ndvi)
+    b = bf16(pair.lst, pair.ndvi)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 0.1, rmse
