@@ -35,7 +35,12 @@ import numpy as np
 from sifsr_tpu.eval.lpips import LPIPS
 from sifsr_tpu.eval.metrics import gssim_np, psnr_np, ssim_np
 from sifsr_tpu.geo.tiff import read_geotiff
-from sifsr_tpu.geo.warp import bilinear_sample, bounds_of, warp_sinusoidal_to_utm
+from sifsr_tpu.geo.warp import (
+    bilinear_sample,
+    bounds_of,
+    suggested_warp_grid,
+    warp_sinusoidal_to_utm,
+)
 from sifsr_tpu.ops.psf import lowpass_matrix
 
 __all__ = ["TestPair", "load_test_pair", "evaluate_pair", "run_evaluation", "METRIC_COLUMNS"]
@@ -182,6 +187,157 @@ def _reference_crop_slices(overlap_sr, overlap_aster, min_overlap: int = 40):
     return slice(p2[0] - 1, p2[1] - 1), slice(p1[0] - 1, p1[1] - 1)
 
 
+def _evaluate_pair_reference(
+    pair: TestPair,
+    aster_path: str,
+    lst_sr: np.ndarray,
+    lpips_metric: LPIPS | None = None,
+    min_overlap: int = 40,
+    return_crops: bool = False,
+):
+    """The reference script's eval geometry, reproduced end-to-end
+    (model_perf_aster_formatds.py:253-369):
+
+    1. the SR patch is embedded in the FULL 4800x4800 sinusoidal canvas and
+       gdalwarp'd with GDAL's default suggested output grid (full-granule
+       origin + extent-fitted pixel sizes — geo.warp.suggested_warp_grid),
+       not a window-local grid; only the patch neighbourhood is actually
+       computed (everything else is zero either way);
+    2. the common window is the ASTER/granule bounds intersection read with
+       rasterio windows: float offsets from from_bounds, floored to the int
+       grid as rasterio's DatasetReader.read does;
+    3. ASTER is read decimated onto out_shape = int(window * pixel ratio)
+       with GDAL's RasterIO bilinear convention (source sample at
+       (i+0.5)*ratio - 0.5 from the *rounded* window origin);
+    4. the 200 K/230 K corner crop with the script's verbatim slices.
+
+    The net sub-pixel phases of (1)-(3) are what the published cell-18
+    anchors (PSNR 22.25 / SSIM 0.69 / RMSE 1.95 / RMSE_grad 6.96) encode.
+    """
+    cy, cx = pair.center
+    gt = pair.granule_gt
+    epsg = pair.utm_epsg
+
+    full_gt, full_shape = suggested_warp_grid((4800, 4800), gt, epsg)
+
+    # source window around the patch (the rest of the canvas is zero)
+    margin = 32
+    y0, x0 = cy - 128 - margin, cx - 128 - margin
+    canvas_sr = np.zeros((256 + 2 * margin, 256 + 2 * margin))
+    canvas_sr[margin : margin + 256, margin : margin + 256] = lst_sr
+    window_gt = (gt[0] + x0 * gt[1], gt[1], 0.0, gt[3] + y0 * gt[5], 0.0, gt[5])
+
+    # dst sub-grid (on the full grid's integer lattice) covering the window
+    ts = np.linspace(0, 1, 21)
+    hs = 256 + 2 * margin
+    ec = np.concatenate([ts * hs, np.full(21, hs), ts[::-1] * hs, np.zeros(21)])
+    er = np.concatenate([np.zeros(21), ts * hs, np.full(21, hs), ts[::-1] * hs])
+    from sifsr_tpu.geo import projection as prj
+
+    wex, wny = prj.sinusoidal_to_utm(
+        window_gt[0] + ec * window_gt[1], window_gt[3] + er * window_gt[5], epsg
+    )
+    c0f = max(0, int(np.floor((wex.min() - full_gt[0]) / full_gt[1])) - 2)
+    c1f = min(full_shape[1], int(np.ceil((wex.max() - full_gt[0]) / full_gt[1])) + 2)
+    r0f = max(0, int(np.floor((wny.max() - full_gt[3]) / full_gt[5])) - 2)
+    r1f = min(full_shape[0], int(np.ceil((wny.min() - full_gt[3]) / full_gt[5])) + 2)
+    sub_gt = (
+        full_gt[0] + c0f * full_gt[1], full_gt[1], 0.0,
+        full_gt[3] + r0f * full_gt[5], 0.0, full_gt[5],
+    )
+    warped_sr = warp_sinusoidal_to_utm(
+        canvas_sr, window_gt, epsg, dst_gt=sub_gt, dst_shape=(r1f - r0f, c1f - c0f)
+    )
+
+    aster = read_geotiff(aster_path)
+    aster_img = aster.array.astype(np.float64)
+    aster_gt = aster.geotransform
+
+    # bounds intersection: FULL warped canvas vs the ASTER raster (:340-344)
+    sr_b = bounds_of(full_shape, full_gt)
+    as_b = bounds_of(aster_img.shape, aster_gt)
+    left = max(sr_b[0], as_b[0])
+    bottom = max(sr_b[1], as_b[1])
+    right = min(sr_b[2], as_b[2])
+    top = min(sr_b[3], as_b[3])
+    if right <= left or top <= bottom:
+        return None
+
+    # win2: the intersection window on the warped-SR grid, rasterio-rounded
+    # (float offsets floored, lengths rounded — rasterio windows semantics)
+    c_off = (left - full_gt[0]) / full_gt[1]
+    r_off = (top - full_gt[3]) / full_gt[5]
+    w2 = (right - left) / full_gt[1]
+    h2 = (bottom - top) / full_gt[5]
+    c2i, r2i = int(np.floor(c_off)), int(np.floor(r_off))
+    w2i, h2i = int(round(w2)), int(round(h2))
+    overlap_sr = np.zeros((h2i, w2i))
+    # place the computed sub-window into the win2 frame
+    rr0 = r0f - r2i
+    cc0 = c0f - c2i
+    src = warped_sr.array.astype(np.float64)
+    rs0, cs0 = max(0, rr0), max(0, cc0)
+    rs1 = min(h2i, rr0 + src.shape[0])
+    cs1 = min(w2i, cc0 + src.shape[1])
+    if rs1 > rs0 and cs1 > cs0:
+        overlap_sr[rs0:rs1, cs0:cs1] = src[
+            rs0 - rr0 : rs1 - rr0, cs0 - cc0 : cs1 - cc0
+        ]
+
+    # win1: the intersection window on the ASTER grid + decimated bilinear
+    # read onto int(window * scale) (:329-352)
+    x_scale = aster_gt[1] / full_gt[1]
+    y_scale = aster_gt[5] / full_gt[5]
+    ac_off = (left - aster_gt[0]) / aster_gt[1]
+    ar_off = (top - aster_gt[3]) / aster_gt[5]
+    w1 = (right - left) / aster_gt[1]
+    h1 = (bottom - top) / aster_gt[5]
+    c1i, r1i = int(np.floor(ac_off)), int(np.floor(ar_off))
+    w1i, h1i = int(round(w1)), int(round(h1))
+    ow1 = int(w1i * x_scale)
+    oh1 = int(h1i * y_scale)
+    if ow1 <= min_overlap or oh1 <= min_overlap:
+        return None
+    jj, ii = np.meshgrid(np.arange(ow1), np.arange(oh1))
+    a_cols = c1i + (jj + 0.5) * (w1i / ow1) - 0.5
+    a_rows = r1i + (ii + 0.5) * (h1i / oh1) - 0.5
+    overlap_aster = bilinear_sample(aster_img, a_rows, a_cols, fill=0.0) * 0.1
+
+    sl = _reference_crop_slices(overlap_sr, overlap_aster, min_overlap)
+    if sl is None:
+        return None
+    r_sl, c_sl = sl
+    crop_aster = overlap_aster[r_sl, c_sl]
+    crop_sr = overlap_sr[r_sl, c_sl]
+    if (crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap
+            or crop_sr.shape != crop_aster.shape):
+        return None
+    metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+    if not return_crops:
+        return metrics
+
+    def warp_aux(patch):
+        canvas = np.zeros_like(canvas_sr)
+        canvas[margin : margin + 256, margin : margin + 256] = patch
+        warped = warp_sinusoidal_to_utm(
+            canvas, window_gt, epsg, dst_gt=sub_gt,
+            dst_shape=(r1f - r0f, c1f - c0f),
+        ).array.astype(np.float64)
+        frame = np.zeros((h2i, w2i))
+        if rs1 > rs0 and cs1 > cs0:
+            frame[rs0:rs1, cs0:cs1] = warped[
+                rs0 - rr0 : rs1 - rr0, cs0 - cc0 : cs1 - cc0
+            ]
+        return frame[r_sl, c_sl]
+
+    return metrics, {
+        "LST:": warp_aux(np.repeat(np.repeat(pair.lst, 4, 0), 4, 1)),
+        "NDVI": warp_aux(pair.ndvi),
+        "LST_ASTER": crop_aster,
+        "LST_SR": crop_sr,
+    }
+
+
 def _nonzero_rmse(sq_err: np.ndarray) -> float:
     """sqrt(mean of entries), excluding exact zeros — reference quirk
     (model_perf_aster_formatds.py:389, filter((0.0).__ne__, ...))."""
@@ -205,8 +361,13 @@ def evaluate_pair(
 
     crop_mode: 'erosion' (default) kills the bilinear edge ramps before the
     corner crop (tighter, ramp-free common area); 'reference' reproduces the
-    reference script's crop verbatim (200 K/230 K thresholds, cv2 corner
-    detection, the -1-offset slices) for anchor-number parity."""
+    reference script's whole eval geometry verbatim (gdalwarp suggested
+    output grid, rasterio window reads, 200 K/230 K corner crop, -1-offset
+    slices) for anchor-number parity — see _evaluate_pair_reference."""
+    if crop_mode == "reference":
+        return _evaluate_pair_reference(
+            pair, aster_path, lst_sr, lpips_metric, min_overlap, return_crops
+        )
     cy, cx = pair.center
 
     # The reference embeds the patch into the full 4800x4800 granule canvas
@@ -272,25 +433,6 @@ def evaluate_pair(
     ac = (ux - aster_gt[0]) / aster_gt[1] - 0.5
     ar = (uy - aster_gt[3]) / aster_gt[5] - 0.5
     overlap_aster = bilinear_sample(aster_img, ar, ac, fill=0.0) * 0.1  # DN -> K
-
-    if crop_mode == "reference":
-        sl = _reference_crop_slices(overlap_sr, overlap_aster)
-        if sl is None:
-            return None
-        r_sl, c_sl = sl
-        crop_aster = overlap_aster[r_sl, c_sl]
-        crop_sr = overlap_sr[r_sl, c_sl]
-        if crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap:
-            return None
-        metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
-        if not return_crops:
-            return metrics
-        return metrics, {
-            "LST:": warped_lo.array[r0:r1, c0:c1][r_sl, c_sl].astype(np.float64),
-            "NDVI": warped_nd.array[r0:r1, c0:c1][r_sl, c_sl].astype(np.float64),
-            "LST_ASTER": crop_aster,
-            "LST_SR": crop_sr,
-        }
 
     # Crop to the common valid region. The reference crops to the inner
     # rectangle of the detected footprint corners (:360-369); bilinear

@@ -17,7 +17,53 @@ import numpy as np
 from sifsr_tpu.geo import projection as prj
 from sifsr_tpu.geo.tiff import GeoTiff
 
-__all__ = ["warp_sinusoidal_to_utm", "bilinear_sample", "bounds_of"]
+__all__ = [
+    "warp_sinusoidal_to_utm",
+    "bilinear_sample",
+    "bounds_of",
+    "suggested_warp_grid",
+]
+
+
+def suggested_warp_grid(
+    shape: tuple[int, int], src_gt: tuple, epsg: int
+) -> tuple[tuple, tuple[int, int]]:
+    """gdalwarp's default output grid for a sinusoidal->UTM warp.
+
+    Replicates GDALSuggestedWarpOutput2 (gdal/alg/gdaltransformer.cpp), which
+    gdalwarp uses when no -te/-tr is given (the reference warps the full
+    4800x4800 canvas with plain ``gdalwarp -s_srs .. -t_srs .. -r bilinear``,
+    model_perf_aster_formatds.py:312-317):
+
+    - bounds = min/max of the transformed source outline (21 samples/edge);
+    - nominal pixel size = transformed (0,0)->(W,H) corner diagonal divided
+      by the source diagonal in pixels;
+    - pixel count = extent/size rounded to nearest; the final pixel sizes are
+      then re-fit exactly to the extent (so X and Y sizes differ slightly).
+
+    Returns (geotransform, (height, width)).
+    """
+    h, w = shape
+    ts = np.linspace(0, 1, 21)
+    edge_cols = np.concatenate([ts * w, np.full(21, w), ts[::-1] * w, np.zeros(21)])
+    edge_rows = np.concatenate([np.zeros(21), ts * h, np.full(21, h), ts[::-1] * h])
+    sx = src_gt[0] + edge_cols * src_gt[1]
+    sy = src_gt[3] + edge_rows * src_gt[5]
+    ex, ny = prj.sinusoidal_to_utm(sx, sy, epsg)
+    left, right = float(ex.min()), float(ex.max())
+    bottom, top = float(ny.min()), float(ny.max())
+
+    cx = src_gt[0] + np.array([0.0, w]) * src_gt[1]
+    cy = src_gt[3] + np.array([0.0, h]) * src_gt[5]
+    cex, cny = prj.sinusoidal_to_utm(cx, cy, epsg)
+    diag = float(np.hypot(cex[1] - cex[0], cny[1] - cny[0]))
+    ps = diag / float(np.hypot(w, h))
+
+    n_px = int((right - left) / ps + 0.5)
+    n_ln = int((top - bottom) / ps + 0.5)
+    ps_x = (right - left) / n_px
+    ps_y = (top - bottom) / n_ln
+    return (left, ps_x, 0.0, top, 0.0, -ps_y), (n_ln, n_px)
 
 
 def bounds_of(shape: tuple[int, int], gt: tuple) -> tuple[float, float, float, float]:

@@ -65,14 +65,15 @@ class CheckpointManager:
             "step": state.step,
         }
         best_template = {"params": state.params, "batch_stats": state.batch_stats}
-        restored = self._mgr.restore(
-            epoch,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(template),
-                extra=ocp.args.JsonRestore(),
-                best=ocp.args.StandardRestore(best_template),
-            ),
+        kwargs = dict(
+            state=ocp.args.StandardRestore(template),
+            extra=ocp.args.JsonRestore(),
         )
+        # 'best' is absent when the checkpoint was written before any
+        # val-loss improvement snapshot existed — restore must not require it
+        if "best" in self._mgr.item_metadata(epoch):
+            kwargs["best"] = ocp.args.StandardRestore(best_template)
+        restored = self._mgr.restore(epoch, args=ocp.args.Composite(**kwargs))
         new_state = state.replace(
             params=restored["state"]["params"],
             batch_stats=restored["state"]["batch_stats"],
