@@ -34,8 +34,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-PATCH_FLOPS = 3.0e9          # conv FLOPs per 64->256 patch (MAC*2)
+# counted per-patch conv FLOPs (sifsr_tpu.utils.flops.modelb2_conv_flops —
+# a programmatic walk of the ModelB2 channel plan, regression-tested in
+# tests/test_flops.py; replaces the round-3 hardcoded 3.0e9 estimate)
+from sifsr_tpu.utils.flops import modelb2_conv_flops
+
+PATCH_FLOPS = modelb2_conv_flops()          # 2.850e9
 V5E_INT8_PEAK = 394e12
+V5E_BF16_PEAK = 197e12
+# counted train-step cost per sample: XLA cost analysis of the full jitted
+# predef_filters step (fwd + PSF ds-loss + Sobel percep + bwd + Adam),
+# measured via utils.flops.xla_flops — 12.21 GFLOP/sample at batch 8 f32
+TRAIN_FLOPS_PER_SAMPLE = 12.21e9
 
 # Soft deadline: the tunnel to the remote TPU has minutes-scale latency
 # variance (a trivial jit ranges 3 s .. 10 min under backlog), and the
@@ -290,6 +300,9 @@ def main():
         "granule": granule,
         "mfu_int8": round(best * PATCH_FLOPS / V5E_INT8_PEAK, 4),
         "train_samples_per_sec": train,
+        "train_mfu_bf16": (
+            round(train["bf16_b128"] * TRAIN_FLOPS_PER_SAMPLE / V5E_BF16_PEAK, 4)
+            if "bf16_b128" in train else None),
         "device": str(jax.devices()[0]),
     }))
 

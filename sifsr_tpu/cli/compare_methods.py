@@ -457,13 +457,21 @@ def cmd_regression(argv):
 # ----------------------------------------------------------------- timediff
 
 def cmd_timediff(argv):
-    """ASTER-MODIS time-difference statistics (reference :139-165). Needs the
-    *unformatted* test_data manifest (aster_modis_dataset_2.csv) whose column
-    9 holds the time difference in hours — not shipped with the reference
-    snapshot, so this subcommand requires an explicit path."""
+    """ASTER-MODIS time-difference statistics (reference :139-165). The real
+    input is the *unformatted* test_data manifest (aster_modis_dataset_2.csv)
+    whose column 9 holds the time difference in hours — not shipped with the
+    reference snapshot, so pass --test-data-csv when available, or
+    --synthetic to exercise the full code path on a generated manifest
+    (Terra daytime overpass geometry: MODIS and ASTER ride the same
+    satellite, so true same-day differences are minutes-scale; the synthetic
+    column draws |dt| ~ N(15 min, 8 min), clearly labelled in the output)."""
     parser = ArgumentParser(prog="compare_methods timediff")
-    parser.add_argument("--test-data-csv", required=True,
+    parser.add_argument("--test-data-csv", default=None,
                         help="aster_modis_dataset_2.csv with the time-difference column")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="generate an N-pair synthetic manifest instead "
+                             "of reading --test-data-csv")
+    parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--performances", default=None,
                         help="performances.csv to inner-join on pair index "
                              "(restricts stats to evaluated pairs)")
@@ -473,7 +481,20 @@ def cmd_timediff(argv):
 
     import pandas as pd
 
-    df = pd.read_csv(args.test_data_csv, index_col=0)
+    if args.synthetic:
+        rng = np.random.default_rng(args.seed)
+        hours = rng.normal(0.25, 8.0 / 60.0, size=args.synthetic)
+        hours *= rng.choice([-1.0, 1.0], size=args.synthetic)
+        df = pd.DataFrame(
+            {f"col{i}": np.zeros(args.synthetic) for i in range(8)}
+            | {"time difference": hours.astype(np.float32)},
+            index=np.arange(args.synthetic),
+        )
+        print(f"(synthetic manifest: {args.synthetic} pairs, seed {args.seed})")
+    elif args.test_data_csv:
+        df = pd.read_csv(args.test_data_csv, index_col=0)
+    else:
+        parser.error("pass --test-data-csv or --synthetic N")
     df.index = pd.to_numeric(df.index, errors="coerce")
     if args.performances:
         perf = pd.read_csv(args.performances, index_col=0)

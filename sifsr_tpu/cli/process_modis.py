@@ -131,6 +131,24 @@ def main(argv=None):
     print(f"wrote {args.pairs_out}: {len(df)} pairs in {time_mod.time() - t0:.0f}s "
           f"(mean georef error {df['georef_error'].mean():.2f} m)")
 
+    if len(df):
+        # georeference-QA histogram (reference process_modis.py:496-503
+        # writes pairs_day_error.png next to the pairs CSV)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig_path = os.path.splitext(args.pairs_out)[0] + "_error.png"
+        plt.figure(figsize=(10, 7))
+        plt.hist(df["georef_error"], bins=50)
+        plt.xlabel("|Δx| + |Δy| georeference error (m)")
+        plt.ylabel("pairs")
+        plt.title("LST/NDVI pair georeference error")
+        plt.savefig(fig_path)
+        plt.close()
+        print(f"wrote {fig_path}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,81 @@
+"""Counted FLOP costs for MFU reporting (replaces the round-3 hardcoded
+PATCH_FLOPS=3.0e9 guess in bench.py — VERDICT r3 weak-point 4).
+
+Two complementary counts:
+
+- ``modelb2_conv_flops``: the *algorithmic* cost — a programmatic walk of the
+  ModelB2 channel plan summing 2·H·W·Cin·Cout·K² per conv (SURVEY.md §3.6
+  layer map; reference model.py:596-645). This is the "useful work"
+  numerator for MFU: it excludes resampling matmuls, padding gathers and
+  elementwise ops, which are implementation detail, not model work.
+- ``xla_flops``: everything XLA actually schedules for a jitted callable
+  (``.lower().compile().cost_analysis()['flops']``) — an upper bound that
+  includes the bicubic-resize matmuls, BN folding and elementwise chains.
+  Pallas custom calls count ZERO here, so for quantized serving paths use
+  the analytic count (the pallas kernels do the same conv math in int8).
+
+Verified relationship (f32 serving step, batch 8): analytic 2.85 GFLOP/patch,
+XLA total 4.17 GFLOP/patch — the 1.3 GFLOP gap is the resize matmuls +
+elementwise, as expected.
+"""
+
+from __future__ import annotations
+
+__all__ = ["modelb2_conv_flops", "xla_flops"]
+
+
+def modelb2_conv_flops(
+    hw: int = 256,
+    in_channels: int = 2,
+    downchannels: tuple[int, ...] = (16, 32, 64, 128),
+    k: int = 3,
+) -> float:
+    """Per-patch conv FLOPs (MAC·2) of one ModelB2 forward at ``hw``².
+
+    Mirrors the reference ModelB_2 architecture exactly (model.py:596-645,
+    bilinear=1 so the last encoder floor is halved by upfactor=2):
+    inbloc DoubleConv(in->c0) @hw², three DownBlock_pool (Res(DoubleConv c->c)
+    + Conv c->c_next) at hw/2², hw/4², hw/8² (last stays c2), three UpBlock
+    (DoubleConv(2c -> c_skip)) back up, outlay Conv(c0 -> 1) @hw².
+    """
+    c0, c1, c2, _ = downchannels
+    # (H*W, Cin, Cout) per 3x3 conv
+    convs = [
+        # inbloc DoubleConvolution (model.py:596)
+        (hw * hw, in_channels, c0),
+        (hw * hw, c0, c0),
+        # db1 @ hw/2 (model.py:597): Res(DoubleConv c0->c0) + Conv c0->c1
+        ((hw // 2) ** 2, c0, c0),
+        ((hw // 2) ** 2, c0, c0),
+        ((hw // 2) ** 2, c0, c1),
+        # db2 @ hw/4: Res(c1) + Conv c1->c2
+        ((hw // 4) ** 2, c1, c1),
+        ((hw // 4) ** 2, c1, c1),
+        ((hw // 4) ** 2, c1, c2),
+        # db3 @ hw/8: Res(c2) + Conv c2->c2 (bilinear upfactor halves c3)
+        ((hw // 8) ** 2, c2, c2),
+        ((hw // 8) ** 2, c2, c2),
+        ((hw // 8) ** 2, c2, c2),
+        # ub1 @ hw/4: concat(c2+c2) -> DoubleConv(2c2 -> c1)
+        ((hw // 4) ** 2, 2 * c2, c1),
+        ((hw // 4) ** 2, c1, c1),
+        # ub2 @ hw/2: concat(c1+c1) -> DoubleConv(2c1 -> c0)
+        ((hw // 2) ** 2, 2 * c1, c0),
+        ((hw // 2) ** 2, c0, c0),
+        # ub3 @ hw: concat(c0+c0) -> DoubleConv(2c0 -> c0)
+        (hw * hw, 2 * c0, c0),
+        (hw * hw, c0, c0),
+        # outlay (model.py:605)
+        (hw * hw, c0, 1),
+    ]
+    return float(sum(2 * n * ci * co * k * k for n, ci, co in convs))
+
+
+def xla_flops(jitted, *args, **kwargs) -> float:
+    """Total FLOPs XLA schedules for one call of ``jitted(*args)``
+    (compiled cost analysis; pallas custom calls count zero)."""
+    compiled = jitted.lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca["flops"])
