@@ -479,10 +479,17 @@ def write_hdf4_sds(
     datasets: dict[str, np.ndarray],
     struct_metadata: str | None = None,
     deflate: bool = False,
+    chunks: tuple[int, int] | None = None,
 ) -> None:
     """Write a minimal spec-conforming HDF4 file (for round-trip tests and
     for producing MODIS-like fixtures): big-endian SDS with SD Vgroups,
-    optional whole-element deflate, optional StructMetadata.0 text vdata."""
+    optional whole-element deflate, optional StructMetadata.0 text vdata.
+
+    chunks=(cy, cx) stores each 2-D SDS in the SPECIAL_CHUNKED layout with
+    per-chunk deflate (HDF4 spec §10: chunk-table Vdata of (origin, chk_tag,
+    chk_ref) records, each chunk an independent whole-element-deflate
+    special element, partial edge chunks zero-padded to full size) — the
+    layout real NASA MODIS granules use, for full-scale ingest stress tests."""
     NT_BY_KIND = {("u", 1): 21, ("i", 1): 20, ("i", 2): 22, ("u", 2): 23,
                   ("i", 4): 24, ("u", 4): 25, ("f", 4): 5, ("f", 8): 6}
 
@@ -507,7 +514,49 @@ def write_hdf4_sds(
             struct.pack(">HH", TAG_NT, nt_ref) for _ in range(arr.ndim)
         )
         sdd_ref = add(TAG_SDD, sdd)
-        if deflate:
+        if chunks is not None and arr.ndim == 2:
+            cy, cx = chunks
+            item = arr.dtype.itemsize
+            records = []
+            for oy in range(-(-arr.shape[0] // cy)):
+                for ox in range(-(-arr.shape[1] // cx)):
+                    full = np.zeros((cy, cx), dtype=be.dtype)
+                    part = be[oy * cy : (oy + 1) * cy, ox * cx : (ox + 1) * cx]
+                    full[: part.shape[0], : part.shape[1]] = part
+                    raw = full.tobytes()
+                    comp_ref = add(TAG_COMPRESSED, zlib.compress(raw))
+                    chdr = struct.pack(">hHIHHH", SPECIAL_COMP, 0, len(raw),
+                                       comp_ref, 0, COMP_DEFLATE)
+                    chunk_ref = add(TAG_SD | _EXT_BIT, chdr)
+                    records.append(struct.pack(">iiHH", oy, ox, TAG_SD, chunk_ref))
+            # chunk-table Vdata: origin (2x int32), chk_tag/chk_ref (uint16)
+            fields = [("origin", 24, 8, 2), ("chk_tag", 23, 2, 1),
+                      ("chk_ref", 23, 2, 1)]
+            vh = struct.pack(">hihh", 0, len(records),
+                             sum(f[2] for f in fields), len(fields))
+            vh += struct.pack(f">{len(fields)}h", *[f[1] for f in fields])
+            vh += struct.pack(f">{len(fields)}h", *[f[2] for f in fields])
+            offs, o = [], 0
+            for fdef in fields:
+                offs.append(o)
+                o += fdef[2]
+            vh += struct.pack(f">{len(fields)}h", *offs)
+            vh += struct.pack(f">{len(fields)}h", *[f[3] for f in fields])
+            for fdef in fields:
+                vh += struct.pack(">h", len(fdef[0])) + fdef[0].encode()
+            tbl_name = "_HDF_CHK_TBL_0"
+            vh += struct.pack(">h", len(tbl_name)) + tbl_name.encode()
+            vh += struct.pack(">h", 0)
+            vh_ref = add(TAG_VH, vh)
+            blobs.append((TAG_VS, vh_ref, b"".join(records)))
+            chunked_hdr = struct.pack(
+                ">hBiiiiHHHHi", SPECIAL_CHUNKED, 1, 0, be.nbytes,
+                cy * cx * item, item, TAG_VH, vh_ref, 0, 0, arr.ndim,
+            )
+            for dim_len, chk_len in zip(arr.shape, (cy, cx)):
+                chunked_hdr += struct.pack(">iii", 0, dim_len, chk_len)
+            sd_ref = add(TAG_SD | _EXT_BIT, chunked_hdr)
+        elif deflate:
             comp_payload = zlib.compress(be.tobytes())
             comp_ref = add(TAG_COMPRESSED, comp_payload)
             hdr = struct.pack(">hHIHHH", SPECIAL_COMP, 0, be.nbytes, comp_ref, 0, COMP_DEFLATE)
