@@ -193,7 +193,8 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
 
     pk = pp["packed"]
 
-    # outlay stays an XLA int8 conv (zero-pad + exact border strips)
+    # outlay stays an XLA int8 conv (zero-pad + exact border strips; the
+    # pallas tail variant measured slower — see _finish)
     ol = _qleaf(*pk["outlay"])
     ol["in_scale"] = jnp.float32(s["ol"])
 
@@ -457,10 +458,16 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         olp = conv_i8_exact(u31, u2["wm"], u2["wc"], u2["scale"], u2["bias"],
                             hp, hp, slab=hp, interpret=interpret)
 
-        # outlay (XLA int8, input already quantized at the ol scale):
-        # zero-padded conv (pad folded into the conv op, no materialised
-        # replicate-pad copy) + exact replicate-pad border strips pasted
-        # into the final SR — the wrong ring is 1 packed px (2 fine px).
+        # outlay stays an XLA int8 conv (zero-pad + exact border strips).
+        # A pallas tail variant (conv_i8_outlay — olp consumed copy-free,
+        # exact in-kernel replicate borders, fused de-normalise) was built
+        # and measured SLOWER in round 4: its 8-useful-lane output makes the
+        # kernel 3.1 ms/iter and the f32 (N, hp·wb, 8) -> (N, 256, 256)
+        # transpose 2.3 ms (the 8-lane minor dim wastes 15/16 of every vreg
+        # in the relayout), vs the 1.6 ms copy.140 + ~1 ms XLA outlay chain
+        # it replaces (9.6k vs 10.2k device-bound at batch 384). The kernel
+        # stays exactness-tested (tests/test_conv_i8_pallas.py) as the
+        # documented negative result; see FUTURE.md.
         # The Kelvin de-normalise folds linearly into the dequant epilogue
         # (scale*std, bias*std+mean) — a separate full-tensor multiply_add
         # pass profiled at ~0.5 ms/iter at batch 256.

@@ -50,8 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "pack_row_tap_weights",
+    "pack_outlay_weights",
     "conv_i8_exact",
     "conv_i8_exact_dual",
+    "conv_i8_outlay",
     "conv_i8_in1",
     "conv_i8_in1_split",
     "in1_split_weights",
@@ -416,6 +418,78 @@ def conv_i8_exact_dual(x_packed, z_packed, wmx, wcx, wmz, wcz, scale_x,
       scale_x.reshape(1, 128), scale_z.reshape(1, 128),
       bias.reshape(1, 128), pf, pt, pb)
     return y.reshape(n, hp, wp, 64)
+
+
+# ------------------------------------------------------ outlay (64 -> 4) tail
+#
+# The final 3x3 conv 16->1 (reference model.py:605) in packed form is a 3x3
+# conv 64->4 at 128². Rounds 2-3 ran it as an XLA int8 conv, which (a) forced
+# a batch-minor relayout of ub3.conv2's 1 MB/image int8 output (copy.140,
+# ~1.6 ms/iter at batch 384) and (b) needed 4 border-strip convs + dynamic
+# slice pastes for the exact replicate pad. This kernel consumes the pair
+# rows pallas-to-pallas (copy-free), handles the replicate pad exactly with
+# the same in-register machinery as conv_i8_exact, and fuses the dequant +
+# Kelvin de-normalise epilogue; only the f32 fine-pixel transpose (4x fewer
+# bytes than the int8 relayout) is left to XLA.
+
+
+def pack_outlay_weights(wq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed int8 outlay kernel (3, 3, 64, 4) -> (WM, WC), each (3, 128, 8):
+    same banding as pack_row_tap_weights with c_out = 4 per pixel."""
+    wq = np.asarray(wq)
+    assert wq.shape == (3, 3, 64, 4), wq.shape
+    wm = np.zeros((3, 128, 8), wq.dtype)
+    wc = np.zeros((3, 128, 8), wq.dtype)
+    for h in range(2):
+        for o in range(2):
+            s = h - o + 1
+            if abs(h - o) <= 1:
+                wm[:, h * 64 : (h + 1) * 64, o * 4 : (o + 1) * 4] = wq[:, s]
+    wc[:, 0:64, 0:4] = wq[:, 0]       # px 2b-1 -> out o=0
+    wc[:, 64:128, 4:8] = wq[:, 2]     # px 2b+2 -> out o=1
+    return wm, wc
+
+
+def _outlay_kernel(x_ref, wm_ref, wc_ref, sc_ref, bias_ref, pfix_ref,
+                   ptop_ref, pbot_ref, out_ref, *, wb, n_slabs, total, slab):
+    s = pl.program_id(1)
+    m = slab * wb
+    v = _load_v_exact(x_ref, ptop_ref, pbot_ref, s, n_slabs, total, m, wb)
+    comp = _composite_exact(v, pfix_ref, wb)
+    y = _dots(v, comp, wm_ref, wc_ref, m, wb)        # (m, 8) int32
+    out_ref[0] = y.astype(jnp.float32) * sc_ref[0] + bias_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "wp", "slab", "interpret"))
+def conv_i8_outlay(x_packed, wm, wc, scale, bias, hp: int, wp: int,
+                   slab: int | None = None, interpret: bool = False):
+    """The serving tail's outlay conv in one custom call: unpadded
+    (N, hp, wp, 64) int8 pair rows -> (N, hp*wp/2, 8) f32, lanes
+    (px, q, r) = the 2x2 fine phases of the row's two packed pixels, scale/
+    bias (8,) carrying the dequant + Kelvin de-normalise. Exact replicate
+    borders (no strip pastes). The fine SR is
+    out.reshape(n, hp, wb, 2, 2, 2).transpose(0, 1, 4, 2, 3, 5) -> (2hp, 2wp)."""
+    n = x_packed.shape[0]
+    wb = wp // 2
+    slab = slab or _exact_slab(hp)
+    assert hp % slab == 0 and wb % 8 == 0, (hp, wp)
+    img, w, vec, perm, _ = _exact_specs(n, hp, wb, slab)
+    w8 = pl.BlockSpec((384, 8), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    vec8 = pl.BlockSpec((1, 8), lambda i, s: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, slab * wb, 8), lambda i, s: (i, s, 0),
+                       memory_space=pltpu.VMEM)
+    pf, pt, pb = _perm_consts()
+    kern = functools.partial(_outlay_kernel, wb=wb, n_slabs=hp // slab,
+                             total=hp * wb, slab=slab)
+    return pl.pallas_call(
+        kern,
+        grid=(n, hp // slab),
+        in_specs=[img, w8, w8, vec8, vec8, perm, perm, perm],
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((n, hp * wb, 8), jnp.float32),
+        interpret=interpret,
+    )(x_packed.reshape(n, hp * wb, 128), wm.reshape(384, 8),
+      wc.reshape(384, 8), scale.reshape(1, 8), bias.reshape(1, 8), pf, pt, pb)
 
 
 # --------------------------------------------- in1: 8-ch packed 3x3 in-kernel

@@ -592,21 +592,25 @@ def _conv_up2_kernel(x_ref, wm, wc, sc, b, rc_ref, cc_ref, inv_ref, out_ref,
     wcl = w_img * c_out
     vv = q.reshape(ib * hh, wcl).astype(jnp.float32)
 
+    # the rolled copies are the kernel's bandwidth cost — compute each
+    # distinct shift ONCE and reuse across the d/e phase loops (the same
+    # roll was previously re-materialised per phase)
+    row_shift = {dd: (pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv)
+                 for dd in deltas}
     planes = []                                        # d-major, then e
     for d in range(2):
         r = None
         for j, dd in enumerate(deltas):
             coef = rc_ref[d, j]                        # (ib*hh, 1)
-            t = pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv
-            term = coef * t
+            term = coef * row_shift[dd]
             r = term if r is None else r + term
+        col_shift = {dd: (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
+                          if dd else r) for dd in deltas}
         for e in range(2):
             yde = None
             for j, dd in enumerate(deltas):
                 coef = cc_ref[e, j].reshape(1, wcl)
-                t = (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
-                     if dd else r)
-                term = coef * t
+                term = coef * col_shift[dd]
                 yde = term if yde is None else yde + term
             planes.append(_requant(yde * inv_ref[0], jnp.int8))
 
@@ -690,21 +694,23 @@ def _conv_up2_pack_kernel(x_ref, wm, wc, sc, b, rc_ref, cc_ref, inv_ref,
     wcl = w_img * c_out
     vv = q.reshape(ib * hh, wcl).astype(jnp.float32)
 
+    # hoist each distinct roll out of the phase loops (see _conv_up2_kernel)
+    row_shift = {dd: (pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv)
+                 for dd in deltas}
     planes = []                                        # (q=d, r=e) order
     for d in range(2):
         r = None
         for j, dd in enumerate(deltas):
             coef = rc_ref[d, j]
-            t = pltpu.roll(vv, (-dd) % vv.shape[0], axis=0) if dd else vv
-            term = coef * t
+            term = coef * row_shift[dd]
             r = term if r is None else r + term
+        col_shift = {dd: (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
+                          if dd else r) for dd in deltas}
         for e in range(2):
             yde = None
             for j, dd in enumerate(deltas):
                 coef = cc_ref[e, j].reshape(1, wcl)
-                t = (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
-                     if dd else r)
-                term = coef * t
+                term = coef * col_shift[dd]
                 yde = term if yde is None else yde + term
             # (ib*hh, wcl) -> (ib*hh*wcl/128, 128): rows (i, jb) of 8 px
             planes.append(_requant(yde * inv_ref[0], jnp.int8)

@@ -152,3 +152,33 @@ def test_conv_i8_in1_split(rng, h, w):
         jnp.asarray(lst4), jnp.asarray(ndvi4),
         jnp.asarray(in1_split_weights(w432)), sc, bv, h, w, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("hp,wp", [(32, 32), (16, 48)])
+def test_conv_i8_outlay(rng, hp, wp):
+    """The outlay tail kernel (64 -> 4, fused dequant/de-normalise epilogue,
+    exact replicate borders) must equal the padded XLA int32 reference
+    everywhere, and its documented lane->fine-pixel map must reproduce the
+    depth-to-space SR assembly."""
+    from sifsr_tpu.models.packed import _depth_to_space
+    from sifsr_tpu.pallas.conv_i8 import conv_i8_outlay, pack_outlay_weights
+
+    x = rng.integers(-127, 128, (2, hp, wp, 64)).astype(np.int8)
+    wq = rng.integers(-20, 21, (3, 3, 64, 4)).astype(np.int8)
+    s_in = 0.03
+    s_w = (0.001 + 0.01 * rng.random(4)).astype(np.float32)
+    bias = rng.normal(size=4).astype(np.float32)
+
+    xpad = np.asarray(_replicate_pad_packed(jnp.asarray(x), 16))
+    y_ref = _ref_conv(xpad, wq, s_in * s_w, bias, relu=False)
+    sr_ref = np.asarray(_depth_to_space(jnp.asarray(y_ref), 1))[..., 0]
+
+    wm, wc = pack_outlay_weights(wq)
+    olf = conv_i8_outlay(jnp.asarray(x), jnp.asarray(wm), jnp.asarray(wc),
+                         jnp.asarray(np.tile(s_in * s_w, 2)),
+                         jnp.asarray(np.tile(bias, 2).astype(np.float32)),
+                         hp, wp, interpret=True)
+    wb = wp // 2
+    sr = np.asarray(olf).reshape(2, hp, wb, 2, 2, 2).transpose(
+        0, 1, 4, 2, 3, 5).reshape(2, 2 * hp, 2 * wp)
+    np.testing.assert_allclose(sr, sr_ref, atol=1e-4, rtol=1e-5)
