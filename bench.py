@@ -247,14 +247,19 @@ def bench_training():
 
     raw = next(ds.batches(8, seed=0))
 
-    for name, (dtype, precision, batch) in {
-        "f32_b32": (jnp.float32, lax.Precision.HIGHEST, 32),
-        "bf16_b128": (jnp.bfloat16, lax.Precision.DEFAULT, 128),
+    for name, (dtype, precision, batch, pad_impl) in {
+        "f32_b32": (jnp.float32, lax.Precision.HIGHEST, 32, "explicit"),
+        "bf16_b128": (jnp.bfloat16, lax.Precision.DEFAULT, 128, "explicit"),
+        # the round-4 training fast path: fused replicate-pad convs skip the
+        # padded-input copies (models.unet.Conv3x3; measured 1.28k -> 1.87k
+        # samples/s at the b256 sweep optimum)
+        "bf16_b256_fused": (jnp.bfloat16, lax.Precision.DEFAULT, 256, "fused"),
     }.items():
         if _skip(f"training row {name}"):
             continue
         try:
-            model = ModelB2(dtype=dtype, precision=precision)
+            model = ModelB2(dtype=dtype, precision=precision,
+                            pad_impl=pad_impl)
             state = create_train_state(model, 1e-3, rng=jax.random.key(0),
                                        input_hw=(256, 256))
             step = make_train_step(model, "predef_filters", alpha=0.99, gamma=-0.5,
@@ -303,6 +308,9 @@ def main():
         "train_mfu_bf16": (
             round(train["bf16_b128"] * TRAIN_FLOPS_PER_SAMPLE / V5E_BF16_PEAK, 4)
             if "bf16_b128" in train else None),
+        "train_mfu_bf16_fused": (
+            round(train["bf16_b256_fused"] * TRAIN_FLOPS_PER_SAMPLE / V5E_BF16_PEAK, 4)
+            if "bf16_b256_fused" in train else None),
         "device": str(jax.devices()[0]),
     }))
 

@@ -68,6 +68,12 @@ def main(argv=None):
                              "thread pool with prefetch (for corpora larger "
                              "than host RAM) instead of materialising the "
                              "dataset up front")
+    parser.add_argument("--pad-impl", type=str, default="explicit",
+                        choices=["explicit", "fused"],
+                        help="conv padding implementation: 'fused' skips the "
+                             "materialised replicate-pad copies (~1.7x bf16 "
+                             "train throughput; border pixels differ from "
+                             "'explicit' by ~1 ulp of summation order)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialise forward activations in the "
                              "backward pass (jax.checkpoint): identical "
@@ -76,10 +82,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_params_json(args.params, recipe=args.recipe)
-    if args.remat:
-        import dataclasses
+    import dataclasses
 
+    if args.remat:
         config = dataclasses.replace(config, remat=True)
+    if args.pad_impl != "explicit":
+        config = dataclasses.replace(config, pad_impl=args.pad_impl)
     stats = Statistics.from_json(args.statistics)
 
     save_path = config.save.save_path

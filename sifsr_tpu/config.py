@@ -68,6 +68,12 @@ class TrainConfig:
     # per-step on-device PSNR/SSIM (the reference computes them per batch;
     # disabling buys ~35% step time)
     step_metrics: bool = True
+    # conv padding implementation: 'explicit' = materialised edge-pad +
+    # VALID conv (bit-exact reference parity); 'fused' = zero-SAME conv +
+    # border-ring correction (models.unet.Conv3x3) — skips the padded-input
+    # copies that dominate train-step HBM traffic (~1.7x bf16 throughput),
+    # interior bit-identical, border differs by summation order (~1 ulp)
+    pad_impl: str = "explicit"
     # rematerialise the forward+loss graph in the backward pass
     # (jax.checkpoint): drops all forward activations from HBM between the
     # forward and backward phases at the cost of ~one extra forward — lifts

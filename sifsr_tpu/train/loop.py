@@ -75,6 +75,7 @@ def train_loop(
             lax.Precision.HIGHEST if config.precision == "highest" else lax.Precision.DEFAULT
         ),
         dtype=jnp.bfloat16 if config.precision == "bf16" else jnp.float32,
+        pad_impl=config.pad_impl,
     )
     input_hw = (64, 64) if config.recipe == "scale_invariance" else (256, 256)
     if state is None:
