@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from sifsr_tpu.models.unet import _PAD_MODES
+from sifsr_tpu.models.unet import Conv3x3
 from sifsr_tpu.ops.resize import resize_matrix
 
 __all__ = ["InferenceModelB2", "fold_batchnorm", "upsample_bilinear_x2_nhwc"]
@@ -49,19 +49,25 @@ def upsample_bilinear_x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class _FusedConv(nn.Module):
-    """pad -> 3x3 VALID conv -> bias [-> ReLU]."""
+    """3x3 replicate-pad conv -> bias [-> ReLU].
+
+    pad handling per ``models.unet.Conv3x3`` (pad_impl='fused' skips the
+    materialised (H+2)(W+2) pad copies — the same HBM-traffic tax profiled
+    at ~44% of the training step also hits the forward-only serving path).
+    dtype=None: the serving step pre-casts the folded variable tree, so the
+    conv runs in whatever dtype the variables/activations arrive in."""
 
     features: int
     padding_mode: str = "replicate"
     relu: bool = True
     precision: lax.Precision = lax.Precision.DEFAULT
+    pad_impl: str = "explicit"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=_PAD_MODES[self.padding_mode])
-        x = nn.Conv(
-            self.features, (3, 3), padding="VALID", use_bias=True,
-            precision=self.precision, name="conv",
+        x = Conv3x3(
+            self.features, self.padding_mode, True, self.precision,
+            dtype=None, pad_impl=self.pad_impl, name="conv",
         )(x)
         return nn.relu(x) if self.relu else x
 
@@ -71,12 +77,13 @@ class _FusedDouble(nn.Module):
     mid_features: int | None = None
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.DEFAULT
+    pad_impl: str = "explicit"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mid = self.mid_features or self.features
-        x = _FusedConv(mid, self.padding_mode, True, self.precision, name="conv1")(x)
-        return _FusedConv(self.features, self.padding_mode, True, self.precision, name="conv2")(x)
+        x = _FusedConv(mid, self.padding_mode, True, self.precision, self.pad_impl, name="conv1")(x)
+        return _FusedConv(self.features, self.padding_mode, True, self.precision, self.pad_impl, name="conv2")(x)
 
 
 class _FusedDown(nn.Module):
@@ -84,13 +91,14 @@ class _FusedDown(nn.Module):
     out_features: int
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.DEFAULT
+    pad_impl: str = "explicit"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, h, w, c = x.shape
         x = jnp.mean(x.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
-        x = x + _FusedDouble(self.in_features, None, self.padding_mode, self.precision, name="res")(x)
-        return _FusedConv(self.out_features, self.padding_mode, True, self.precision, name="lastconv")(x)
+        x = x + _FusedDouble(self.in_features, None, self.padding_mode, self.precision, self.pad_impl, name="res")(x)
+        return _FusedConv(self.out_features, self.padding_mode, True, self.precision, self.pad_impl, name="lastconv")(x)
 
 
 class _FusedUp(nn.Module):
@@ -98,6 +106,7 @@ class _FusedUp(nn.Module):
     out_features: int
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.DEFAULT
+    pad_impl: str = "explicit"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +114,7 @@ class _FusedUp(nn.Module):
         x = jnp.concatenate([x, skip], axis=-1)
         return _FusedDouble(
             self.out_features, self.in_features // 2, self.padding_mode, self.precision,
-            name="convbloc",
+            self.pad_impl, name="convbloc",
         )(x)
 
 
@@ -116,22 +125,23 @@ class InferenceModelB2(nn.Module):
     downchannels: Sequence[int] = (16, 32, 64, 128)
     padding_mode: str = "replicate"
     precision: lax.Precision = lax.Precision.DEFAULT
+    pad_impl: str = "explicit"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = list(self.downchannels)
-        pm, pr = self.padding_mode, self.precision
+        pm, pr, pi = self.padding_mode, self.precision, self.pad_impl
 
-        s0 = _FusedDouble(d[0], None, pm, pr, name="inbloc")(x)
-        s1 = _FusedDown(d[0], d[1], pm, pr, name="db1")(s0)
-        s2 = _FusedDown(d[1], d[2], pm, pr, name="db2")(s1)
-        x = _FusedDown(d[2], d[3] // 2, pm, pr, name="db3")(s2)
+        s0 = _FusedDouble(d[0], None, pm, pr, pi, name="inbloc")(x)
+        s1 = _FusedDown(d[0], d[1], pm, pr, pi, name="db1")(s0)
+        s2 = _FusedDown(d[1], d[2], pm, pr, pi, name="db2")(s1)
+        x = _FusedDown(d[2], d[3] // 2, pm, pr, pi, name="db3")(s2)
 
-        x = _FusedUp(d[3], d[2] // 2, pm, pr, name="ub1")(x, s2)
-        x = _FusedUp(d[2], d[1] // 2, pm, pr, name="ub2")(x, s1)
-        x = _FusedUp(d[1], d[0], pm, pr, name="ub3")(x, s0)
+        x = _FusedUp(d[3], d[2] // 2, pm, pr, pi, name="ub1")(x, s2)
+        x = _FusedUp(d[2], d[1] // 2, pm, pr, pi, name="ub2")(x, s1)
+        x = _FusedUp(d[1], d[0], pm, pr, pi, name="ub3")(x, s0)
 
-        return _FusedConv(1, pm, False, pr, name="outlay")(x)
+        return _FusedConv(1, pm, False, pr, pi, name="outlay")(x)
 
 
 def _fold_pair(conv: dict, bn: dict) -> dict:

@@ -47,3 +47,46 @@ def test_nhwc_bilinear_matches_nchw(rng):
     )
     got = np.asarray(upsample_bilinear_x2_nhwc(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fused_pad_impl_matches_explicit(rng):
+    """The serving fast path's pad_impl='fused' (make_sr_step default) must
+    agree with the explicit-pad BN-folded forward to float summation order
+    everywhere, including the border ring the correction patches."""
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    folded = fold_batchnorm(variables)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 2)).astype(np.float32))
+
+    want = InferenceModelB2(precision=lax.Precision.HIGHEST).apply(folded, x)
+    got = InferenceModelB2(precision=lax.Precision.HIGHEST,
+                           pad_impl="fused").apply(folded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_make_sr_step_pad_impls_agree():
+    """End-to-end serving step (normalise + bicubic + forward + de-normalise)
+    in Kelvin: fused vs explicit pads must agree far below the bf16 noise
+    floor of the path (~0.03 K rmse vs f32, tests above)."""
+    import json
+
+    from sifsr_tpu.data.statistics import Statistics
+    from sifsr_tpu.inference import make_sr_step
+
+    variables = load_torch_checkpoint(
+        "/root/reference/models/modelB_1009/modelB_state_dict.pt"
+    )
+    with open("data/statistics_testset.json") as f:
+        stats = Statistics(**json.load(f))
+    r = np.random.default_rng(0)
+    lst = jnp.asarray((290.0 + 8.0 * r.random((3, 64, 64))).astype(np.float32))
+    ndvi = jnp.asarray((r.random((3, 256, 256)) * 0.8).astype(np.float32))
+
+    outs = {}
+    for pi in ("explicit", "fused"):
+        step = make_sr_step(ModelB2(), stats, jnp.float32, True, pad_impl=pi)
+        outs[pi] = np.asarray(step(variables, lst, ndvi))
+    d = np.abs(outs["fused"] - outs["explicit"])
+    assert d.max() < 1e-3, f"f32 fused-vs-explicit max|d|={d.max()} K"
