@@ -14,14 +14,18 @@ patch (~3.0 GFLOP, SURVEY.md §3.6 channel map) against the v5e int8 peak
 (394 TOPS).
 
 Serving paths raced (failures are isolated per path):
-  pallas_i8 — int8 + space-to-depth + fused Pallas pair-convs
-              (models/pallas_serving.py) — the engineered fast path;
-  int8_static — static-calibrated int8 XLA convs (models/quantized.py).
+  pallas_full — the full-pallas int8 U-Net, mid='prow'
+              (models/pallas_serving.py) — the headline path;
+  pallas_i8 — pallas front/tail + XLA int8 mid chain;
+  int8_static — static-calibrated int8 XLA convs (models/quantized.py);
+  bf16 — BN-folded bf16 XLA graph with fused replicate pads
+              (the serve-daemon default path).
 
 Training throughput is measured on synthetic data through the full jitted
 step (fwd + sensor-model ds-loss + Sobel percep loss + bwd + Adam):
   f32_b32  — reference-parity config (HIGHEST precision, batch 32);
-  bf16_b128 — mixed-precision config (bf16 compute, f32 master weights).
+  bf16_b128 — mixed-precision config (bf16 compute, f32 master weights);
+  bf16_b256_fused — + fused replicate-pad convs (the round-4 fast path).
 """
 
 import json
@@ -150,7 +154,17 @@ def bench_serving():
     # deadline-skippable so a congested tunnel still yields the JSON line
     paths = {}
     batches = {}
-    for name in ("pallas_full", "pallas_i8", "int8_static"):
+    try:
+        from sifsr_tpu.inference import make_sr_step
+
+        # the BN-folded bf16 XLA path (serve-daemon default; round-4 fused
+        # replicate pads — comparison row, not the headline)
+        candidates["bf16"] = (
+            make_sr_step(model, stats, jnp.bfloat16, True), variables, 256)
+    except Exception as exc:  # pragma: no cover
+        print(f"bf16 setup failed: {exc}", file=sys.stderr)
+
+    for name in ("pallas_full", "pallas_i8", "int8_static", "bf16"):
         if name not in candidates:
             continue
         if name != "pallas_full" and _skip(f"serving path {name}"):
@@ -159,9 +173,12 @@ def bench_serving():
         lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
         ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
         try:
+            # headline gets extra repeats: the min of a deterministic device
+            # chain only sheds tunnel/host noise with enough draws
             dt, iters = _measure(lambda l, n: sr_step(params, l, n), lst, ndvi,
-                                 iters=50)  # one tunnel sync per chain:
+                                 iters=50,  # one tunnel sync per chain:
                                             # 50 iters keeps it <1% of dt
+                                 repeats=5 if name == "pallas_full" else 3)
             paths[name] = round(batch * iters / dt, 1)
             batches[name] = batch
             _mark(f"serving path {name}")

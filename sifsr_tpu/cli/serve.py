@@ -97,7 +97,8 @@ class _Server:
                 batch_size=a.batch_size,
                 compute_dtype=jnp.float32 if a.f32 else jnp.bfloat16,
                 overlap=a.overlap, device_tiling=a.device_tiling,
-                wire=None if a.wire == "f32" else a.wire)
+                wire=None if a.wire == "f32" else a.wire,
+                pad_impl=a.pad_impl)
         out = job.get("out", default_out)
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         write_geotiff(out, mosaic.astype(np.float32), geotransform=ndvi_gt,
@@ -168,6 +169,10 @@ def main(argv=None):
     parser.add_argument("--overlap", type=int, default=0)
     parser.add_argument("--device-tiling", action="store_true")
     parser.add_argument("--f32", action="store_true")
+    parser.add_argument("--pad-impl", default="fused",
+                        choices=("fused", "explicit"),
+                        help="conv padding implementation for the bf16/f32 "
+                             "BN-folded path (see predict --pad-impl)")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--calib-quantile", type=float, default=None,

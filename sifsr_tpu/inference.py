@@ -211,6 +211,7 @@ def predict_granule(
     pipeline_depth: int = 3,
     device_tiling: bool = False,
     wire: str | None = None,
+    pad_impl: str = "fused",
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -254,13 +255,18 @@ def predict_granule(
     model's response to <=5e-5 NDVI rounding — far below the ~2 K sensor
     accuracy (and zero for inputs that came from real MODIS files).
     Not combined with mesh (the sharded wrapper device_puts f32 batches).
+
+    pad_impl: conv padding implementation for the default (bf16/f32
+    BN-folded) step — 'fused' (default, +12% device throughput) or
+    'explicit' (the reference's materialised pads); see
+    inference.make_sr_step. Ignored when sr_step is supplied.
     """
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
     fwin = window * factor
     if sr_step is None:
         model = model or ModelB2()
-        sr_step = make_sr_step(model, stats, compute_dtype)
+        sr_step = make_sr_step(model, stats, compute_dtype, pad_impl=pad_impl)
         step_params = variables
 
     if wire not in (None, "int"):
