@@ -2,35 +2,59 @@
 """Headline benchmark: 64->256 SR patches/sec/chip through the full serving
 step (normalise + bicubic x4 + ModelB U-Net forward + de-normalise).
 
-Prints ONE JSON line:
+Prints the JSON result line REPEATEDLY — once after every completed
+milestone — so the record survives a wall-clock kill at any point (the
+driver parses the tail of stdout; the last line is the most complete).
+Final shape:
   {"metric": "sr_patches_per_sec_per_chip", "value": N, "unit": "patches/s",
-   "vs_baseline": N / 10000, "paths": {...}, "mfu_int8": ...,
-   "train_samples_per_sec": {...}}
+   "vs_baseline": N / 10000, "paths": {...}, "granule": {...},
+   "train_samples_per_sec": {...}, ...}
+
+Robustness (BENCH_r04 was rc=124/parsed=null — the driver's hard wall
+landed before the single end-of-run print):
+  * All measurement runs in a WORKER thread; the MAIN thread is a watchdog
+    that emits whatever has been measured and exits at SIFSR_BENCH_WALL_S
+    (default 1050 s) even if the worker is stuck inside a blocked tunnel
+    call that Python signal handlers could not interrupt.
+  * SIGTERM/SIGINT handlers (delivered to the sleeping main thread) emit
+    the current result before exiting, so a driver `timeout` kill still
+    yields a parsed record.
+  * Stage order is reporting priority: a bf16 XLA path (one compile) lands
+    an insurance number within minutes, then the pallas headline, the fused
+    training row, the granule modes, and only then the comparison serving
+    paths + remaining training rows. Every stage emits on completion and is
+    individually skippable once the soft deadline passes, so a congested
+    tunnel truncates the report from the least important end.
 
 Baseline: the BASELINE.json north-star of 10k patches/sec/chip on TPU v5e
-(the reference itself runs batch-1 on CPU/GPU with per-block host round-trips;
-see BASELINE.md). MFU is derived from the analytic conv FLOPs of one 64->256
-patch (~3.0 GFLOP, SURVEY.md §3.6 channel map) against the v5e int8 peak
-(394 TOPS).
+(the reference itself runs batch-1 on CPU/GPU with per-block host
+round-trips; see BASELINE.md). Serving MFU is derived from the counted
+conv FLOPs of one 64->256 patch (3.605 GFLOP, utils/flops.py — the bilinear
+UpBlock mid=in//2 channel plan) against the v5e int8 peak (394 TOPS).
+Training MFU uses XLA's own cost analysis of the exact step being measured
+(per dtype/pad_impl), falling back to the legacy f32-b8 count only if cost
+analysis is unavailable.
 
 Serving paths raced (failures are isolated per path):
+  bf16        — BN-folded bf16 XLA graph with fused replicate pads (the
+                serve-daemon default path; also the insurance number);
   pallas_full — the full-pallas int8 U-Net, mid='prow'
-              (models/pallas_serving.py) — the headline path;
-  pallas_i8 — pallas front/tail + XLA int8 mid chain;
-  int8_static — static-calibrated int8 XLA convs (models/quantized.py);
-  bf16 — BN-folded bf16 XLA graph with fused replicate pads
-              (the serve-daemon default path).
+                (models/pallas_serving.py) — the headline path;
+  pallas_i8   — pallas front/tail + XLA int8 mid chain;
+  int8_static — static-calibrated int8 XLA convs (models/quantized.py).
 
 Training throughput is measured on synthetic data through the full jitted
 step (fwd + sensor-model ds-loss + Sobel percep loss + bwd + Adam):
   f32_b32  — reference-parity config (HIGHEST precision, batch 32);
   bf16_b128 — mixed-precision config (bf16 compute, f32 master weights);
-  bf16_b256_fused — + fused replicate-pad convs (the round-4 fast path).
+  bf16_b256_fused — + fused replicate-pad convs (the round-4+ fast path).
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -40,25 +64,73 @@ import jax.numpy as jnp
 
 # counted per-patch conv FLOPs (sifsr_tpu.utils.flops.modelb2_conv_flops —
 # a programmatic walk of the ModelB2 channel plan, regression-tested in
-# tests/test_flops.py; replaces the round-3 hardcoded 3.0e9 estimate)
+# tests/test_flops.py)
 from sifsr_tpu.utils.flops import modelb2_conv_flops
 
-PATCH_FLOPS = modelb2_conv_flops()          # 2.850e9
+PATCH_FLOPS = modelb2_conv_flops()          # 3.605e9
 V5E_INT8_PEAK = 394e12
 V5E_BF16_PEAK = 197e12
-# counted train-step cost per sample: XLA cost analysis of the full jitted
-# predef_filters step (fwd + PSF ds-loss + Sobel percep + bwd + Adam),
-# measured via utils.flops.xla_flops — 12.21 GFLOP/sample at batch 8 f32
-TRAIN_FLOPS_PER_SAMPLE = 12.21e9
+# legacy fallback only (XLA cost analysis of the f32 batch-8 step); the
+# bench measures the real per-config number at run time via cost_analysis
+TRAIN_FLOPS_FALLBACK = 12.21e9
 
-# Soft deadline: the tunnel to the remote TPU has minutes-scale latency
-# variance (a trivial jit ranges 3 s .. 10 min under backlog), and the
-# driver bounds this script's wall time. The HEADLINE stage always runs;
-# comparison paths / granule modes / training rows are skipped once the
-# elapsed wall passes the deadline, so a congested tunnel degrades the
-# report instead of producing no JSON line at all.
 _T0 = time.perf_counter()
-_DEADLINE_S = float(os.environ.get("SIFSR_BENCH_DEADLINE_S", "1500"))
+# hard wall: the watchdog emits + exits at this point no matter what the
+# worker is doing. Keep >=25% under the driver's own wall.
+_WALL_S = float(os.environ.get("SIFSR_BENCH_WALL_S", "1050"))
+# soft deadline for optional stages (comparison paths / granule / training)
+_DEADLINE_S = float(os.environ.get("SIFSR_BENCH_DEADLINE_S",
+                                   str(0.72 * _WALL_S)))
+
+_LOCK = threading.Lock()
+RESULT = {
+    "metric": "sr_patches_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "patches/s",
+    "vs_baseline": 0.0,
+    "batch": None,
+    "path": "",
+    "paths": {},
+    "granule": None,
+    "mfu_int8": None,
+    "train_samples_per_sec": {},
+    "train_flops_per_sample": {},
+    "train_mfu_bf16": None,
+    "train_mfu_bf16_fused": None,
+    "stages_done": [],
+    "device": None,
+}
+
+
+def emit(stage, lock_timeout=5.0):
+    """Print the current result line (the driver parses the LAST line).
+
+    Bounded lock wait: if the worker is wedged mid-update, the watchdog /
+    signal path still emits a best-effort snapshot instead of deadlocking.
+    """
+    got = _LOCK.acquire(timeout=lock_timeout)
+    try:
+        RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        line = json.dumps(RESULT)
+    finally:
+        if got:
+            _LOCK.release()
+    print(line, flush=True)
+    print(f"bench: emitted after {stage!r} at t+{time.perf_counter() - _T0:.0f}s",
+          file=sys.stderr)
+
+
+def record_serving(name, value, batch, stage_tag=None):
+    with _LOCK:
+        RESULT["paths"][name] = value
+        RESULT["stages_done"].append(stage_tag or f"serving:{name}")
+        if value > RESULT["value"]:
+            RESULT["value"] = value
+            RESULT["path"] = name
+            RESULT["batch"] = batch
+            RESULT["vs_baseline"] = round(value / 10000.0, 3)
+            RESULT["mfu_int8"] = round(value * PATCH_FLOPS / V5E_INT8_PEAK, 4)
+    emit(name)
 
 
 def _skip(stage):
@@ -70,11 +142,6 @@ def _skip(stage):
               file=sys.stderr)
         return True
     return False
-
-
-def _mark(stage):
-    print(f"bench: {stage} done at t+{time.perf_counter() - _T0:.0f}s",
-          file=sys.stderr)
 
 
 def _measure(fn, lst, ndvi, iters=10, repeats=3):
@@ -104,7 +171,16 @@ def _measure(fn, lst, ndvi, iters=10, repeats=3):
     return best, iters
 
 
-def bench_serving():
+def _serving_inputs(rng, batch):
+    lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
+    ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
+    return lst, ndvi
+
+
+def bench_serving_core():
+    """Insurance bf16 number + the pallas headline. Returns the shared
+    context (stats/variables/calibration/pallas params) the later optional
+    stages reuse."""
     from sifsr_tpu.data.statistics import Statistics
     from sifsr_tpu.models.unet import ModelB2
 
@@ -112,88 +188,93 @@ def bench_serving():
     stats = Statistics(maxi=330.0, mini=260.0, mean_lst=295.0, std_lst=10.0,
                        mean_ndvi=0.3, std_ndvi=0.25)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
-
     rng = np.random.default_rng(1)
+
+    # --- insurance number first: one XLA compile, lands within minutes ---
+    try:
+        from sifsr_tpu.inference import make_sr_step
+
+        sr_bf16 = make_sr_step(model, stats, jnp.bfloat16, True)
+        lst, ndvi = _serving_inputs(rng, 256)
+        dt, iters = _measure(lambda l, n: sr_bf16(variables, l, n), lst, ndvi,
+                             iters=50, repeats=2)
+        record_serving("bf16", round(256 * iters / dt, 1), 256)
+    except Exception as exc:  # pragma: no cover
+        print(f"bf16 insurance path failed: {exc}", file=sys.stderr)
+
+    # --- the headline pallas path ---
     cal_lst = (290.0 + 5.0 * rng.random((8, 64, 64))).astype(np.float32)
     cal_ndvi = (rng.random((8, 256, 256)) * 0.8).astype(np.float32)
-
-    # each path races at its own best batch (a serving deployment knob):
-    # the pallas path's device time is batch-linear from 256 up, while the
-    # XLA int8 path amortises its fixed passes best at 1024
-    candidates = {}
     pallas_params = None
     try:
         from sifsr_tpu.models.pallas_serving import (
             build_pallas_serving_params, make_pallas_sr_step)
 
         pallas_params = build_pallas_serving_params(variables, cal_lst, cal_ndvi, stats)
-        candidates["pallas_i8"] = (
-            make_pallas_sr_step(stats, mid="xla"),
-            pallas_params,
-            256,
-        )
-        candidates["pallas_full"] = (
-            make_pallas_sr_step(stats, mid="prow"),
-            pallas_params,
-            384,  # measured best: 384 > 256 > 512 (dispatch amortisation
-                  # vs the kernels' per-image ib blocking)
-        )
+        # measured best batch: 384 > 256 > 512 (dispatch amortisation vs the
+        # kernels' per-image ib blocking)
+        lst, ndvi = _serving_inputs(rng, 384)
+        step = make_pallas_sr_step(stats, mid="prow")
+        # headline gets extra repeats: the min of a deterministic device
+        # chain only sheds tunnel/host noise with enough draws
+        dt, iters = _measure(lambda l, n: step(pallas_params, l, n), lst, ndvi,
+                             iters=50, repeats=5)
+        record_serving("pallas_full", round(384 * iters / dt, 1), 384)
     except Exception as exc:  # pragma: no cover
-        print(f"pallas setup failed: {exc}", file=sys.stderr)
-    try:
-        from sifsr_tpu.models.quantized import (
-            calibrate_activation_scales, make_int8_sr_step, quantize_serving_params)
+        print(f"pallas_full failed: {exc}", file=sys.stderr)
+    return dict(stats=stats, variables=variables, rng=rng,
+                cal_lst=cal_lst, cal_ndvi=cal_ndvi,
+                pallas_params=pallas_params)
 
-        qparams = calibrate_activation_scales(
-            variables, quantize_serving_params(variables), cal_lst, cal_ndvi, stats)
-        candidates["int8_static"] = (make_int8_sr_step(stats), qparams, 1024)
-    except Exception as exc:  # pragma: no cover
-        print(f"int8_static setup failed: {exc}", file=sys.stderr)
 
-    # the headline path (pallas_full) always runs; the comparison paths are
-    # deadline-skippable so a congested tunnel still yields the JSON line
-    paths = {}
-    batches = {}
-    try:
-        from sifsr_tpu.inference import make_sr_step
-
-        # the BN-folded bf16 XLA path (serve-daemon default; round-4 fused
-        # replicate pads — comparison row, not the headline)
-        candidates["bf16"] = (
-            make_sr_step(model, stats, jnp.bfloat16, True), variables, 256)
-    except Exception as exc:  # pragma: no cover
-        print(f"bf16 setup failed: {exc}", file=sys.stderr)
-
-    for name in ("pallas_full", "pallas_i8", "int8_static", "bf16"):
-        if name not in candidates:
-            continue
-        if name != "pallas_full" and _skip(f"serving path {name}"):
-            continue
-        sr_step, params, batch = candidates[name]
-        lst = jnp.asarray(290.0 + 5.0 * rng.random((batch, 64, 64)), dtype=jnp.float32)
-        ndvi = jnp.asarray(rng.random((batch, 256, 256)) * 0.8, dtype=jnp.float32)
+def bench_serving_rest(ctx):
+    """Comparison serving paths (deadline-skippable)."""
+    stats, variables, rng = ctx["stats"], ctx["variables"], ctx["rng"]
+    cal_lst, cal_ndvi = ctx["cal_lst"], ctx["cal_ndvi"]
+    pallas_params = ctx["pallas_params"]
+    if pallas_params is not None and not _skip("serving path pallas_i8"):
         try:
-            # headline gets extra repeats: the min of a deterministic device
-            # chain only sheds tunnel/host noise with enough draws
-            dt, iters = _measure(lambda l, n: sr_step(params, l, n), lst, ndvi,
-                                 iters=50,  # one tunnel sync per chain:
-                                            # 50 iters keeps it <1% of dt
-                                 repeats=5 if name == "pallas_full" else 3)
-            paths[name] = round(batch * iters / dt, 1)
-            batches[name] = batch
-            _mark(f"serving path {name}")
-        except Exception as exc:  # pragma: no cover
-            print(f"bench path {name} failed: {exc}", file=sys.stderr)
+            from sifsr_tpu.models.pallas_serving import make_pallas_sr_step
 
-    # whole-granule wall: the deployable number — host tile extraction +
-    # transfers + device SR + host mosaic scatter, double-buffered
-    # (inference.predict_granule), on a synthetic full 1200x1200 granule
-    granule = None
-    if pallas_params is not None and paths and not _skip("granule modes"):
+            lst, ndvi = _serving_inputs(rng, 256)
+            step = make_pallas_sr_step(stats, mid="xla")
+            dt, iters = _measure(lambda l, n: step(pallas_params, l, n),
+                                 lst, ndvi, iters=50, repeats=3)
+            record_serving("pallas_i8", round(256 * iters / dt, 1), 256)
+        except Exception as exc:  # pragma: no cover
+            print(f"pallas_i8 failed: {exc}", file=sys.stderr)
+
+    if not _skip("serving path int8_static"):
+        try:
+            from sifsr_tpu.models.quantized import (
+                calibrate_activation_scales, make_int8_sr_step,
+                quantize_serving_params)
+
+            qparams = calibrate_activation_scales(
+                variables, quantize_serving_params(variables), cal_lst,
+                cal_ndvi, stats)
+            lst, ndvi = _serving_inputs(rng, 1024)
+            step = make_int8_sr_step(stats)
+            dt, iters = _measure(lambda l, n: step(qparams, l, n), lst, ndvi,
+                                 iters=50, repeats=3)
+            record_serving("int8_static", round(1024 * iters / dt, 1), 1024)
+        except Exception as exc:  # pragma: no cover
+            print(f"int8_static failed: {exc}", file=sys.stderr)
+
+
+def bench_granule(ctx):
+    """Whole-granule wall: the deployable number — host tile extraction +
+    transfers + device SR + host mosaic scatter, double-buffered
+    (inference.predict_granule), on a synthetic full 1200x1200 granule."""
+    stats, rng = ctx["stats"], ctx["rng"]
+    pallas_params = ctx["pallas_params"]
+    if pallas_params is not None and not _skip("granule modes"):
         try:
             from sifsr_tpu.inference import predict_granule
             from sifsr_tpu.models.pallas_serving import make_pallas_sr_step
 
+            with _LOCK:
+                paths = dict(RESULT["paths"])
             best_mid = "prow" if paths.get("pallas_full", 0) >= paths.get(
                 "pallas_i8", 0) else "xla"
             g_step = make_pallas_sr_step(stats, mid=best_mid)
@@ -204,19 +285,24 @@ def bench_serving():
             reps = 4
             modes = {}
             for name, mkw in (("host_pipeline", {}),
+                              ("auto", {"mode": "auto"}),
                               ("device_tiling", {"device_tiling": True}),
                               ("device_tiling_wire",
                                {"device_tiling": True, "wire": "int"})):
                 if modes and _skip(f"granule mode {name}"):
                     continue
-                predict_granule(None, lst_g, ndvi_g, **kw, **mkw)  # warm
-                best_rep = float("inf")
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    predict_granule(None, lst_g, ndvi_g, **kw, **mkw)
-                    best_rep = min(best_rep, time.perf_counter() - t0)
-                modes[name] = best_rep  # fastest rep: device time is
-                # deterministic, the min strips tunnel/host noise
+                try:
+                    predict_granule(None, lst_g, ndvi_g, **kw, **mkw)  # warm
+                    best_rep = float("inf")
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        predict_granule(None, lst_g, ndvi_g, **kw, **mkw)
+                        best_rep = min(best_rep, time.perf_counter() - t0)
+                    modes[name] = best_rep  # fastest rep: device time is
+                    # deterministic, the min strips tunnel/host noise
+                except TypeError:
+                    # older predict_granule without mode= (auto not present)
+                    continue
             mode = min(modes, key=modes.get)
             dt = modes[mode] * reps
             n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
@@ -236,42 +322,45 @@ def bench_serving():
             for _ in range(2):
                 float(jax.device_put(ndvi_g).sum())
             h2d = 2 * ndvi_g.nbytes / (time.perf_counter() - t0) / 1e6
-            granule = {
-                "patches_per_sec_wall": round(reps * n_patches / dt, 1),
-                "granule_seconds": round(dt / reps, 3),
-                "mid": best_mid,
-                "mode": mode,
-                "modes_seconds": {k: round(v, 3) for k, v in modes.items()},
-                "tunnel_host_to_device_mb_s": round(h2d, 1),
-            }
+            with _LOCK:
+                RESULT["granule"] = {
+                    "patches_per_sec_wall": round(reps * n_patches / dt, 1),
+                    "granule_seconds": round(dt / reps, 3),
+                    "mid": best_mid,
+                    "mode": mode,
+                    "modes_seconds": {k: round(v, 3) for k, v in modes.items()},
+                    "tunnel_host_to_device_mb_s": round(h2d, 1),
+                }
+                RESULT["stages_done"].append("granule")
+            emit("granule")
         except Exception as exc:  # pragma: no cover
             print(f"granule bench failed: {exc}", file=sys.stderr)
-        _mark("granule modes")
-    return paths, batches, granule
 
 
-def bench_training():
-    from sifsr_tpu.config import HyperParams, TrainConfig
+TRAIN_ROWS = {
+    # reporting priority order — the fused row is the one the verdict tracks
+    "bf16_b256_fused": ("bfloat16", "DEFAULT", 256, "fused"),
+    "bf16_b128": ("bfloat16", "DEFAULT", 128, "explicit"),
+    "f32_b32": ("float32", "HIGHEST", 32, "explicit"),
+}
+
+
+def bench_training(rows):
     from sifsr_tpu.data import make_synthetic_dataset
     from sifsr_tpu.models.unet import ModelB2
     from sifsr_tpu.train.state import create_train_state
     from sifsr_tpu.train.step import make_train_step
     from jax import lax
 
-    results = {}
     ds = make_synthetic_dataset(8, seed=0)
     from sifsr_tpu.data.datasets import prepare_batch
 
     raw = next(ds.batches(8, seed=0))
 
-    for name, (dtype, precision, batch, pad_impl) in {
-        "f32_b32": (jnp.float32, lax.Precision.HIGHEST, 32, "explicit"),
-        "bf16_b128": (jnp.bfloat16, lax.Precision.DEFAULT, 128, "explicit"),
-        # the round-4 training fast path: fused replicate-pad convs skip the
-        # padded-input copies (models.unet.Conv3x3; measured 1.28k -> 1.87k
-        # samples/s at the b256 sweep optimum)
-        "bf16_b256_fused": (jnp.bfloat16, lax.Precision.DEFAULT, 256, "fused"),
-    }.items():
+    for name in rows:
+        dtype_s, prec_s, batch, pad_impl = TRAIN_ROWS[name]
+        dtype = getattr(jnp, dtype_s)
+        precision = getattr(lax.Precision, prec_s)
         if _skip(f"training row {name}"):
             continue
         try:
@@ -287,49 +376,93 @@ def bench_training():
                 for k, v in raw.items()
             })
 
-            # measure with a persistent state chain so the optimizer update runs
-            state2, m = step(state, batch_dict)
-            float(m["loss"])  # compile
+            # AOT-compile so the SAME executable yields both the measured
+            # run and XLA's cost analysis (the per-config MFU numerator —
+            # the step graph differs by dtype/pad_impl, so a constant
+            # silently drifts; ADVICE r4)
+            flops_per_sample = None
+            try:
+                compiled = step.lower(state, batch_dict).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                step_flops = float(ca.get("flops", 0.0))
+                if step_flops > 0:
+                    flops_per_sample = step_flops / batch
+                run_step = compiled
+            except Exception as exc:
+                print(f"cost analysis unavailable for {name}: {exc}",
+                      file=sys.stderr)
+                run_step = step
+
+            # measure with a persistent state chain so the optimizer update
+            # runs (donated buffers chain through)
+            state2, m = run_step(state, batch_dict)
+            float(m["loss"])  # warm
             iters = 10
             t0 = time.perf_counter()
             s = state2
             last = None
             for _ in range(iters):
-                s, m = step(s, batch_dict)
+                s, m = run_step(s, batch_dict)
                 last = m["loss"]
             float(last)
             dt = time.perf_counter() - t0
-            results[name] = round(batch * iters / dt, 1)
-            _mark(f"training row {name}")
+            sps = round(batch * iters / dt, 1)
+            fps = flops_per_sample or TRAIN_FLOPS_FALLBACK
+            with _LOCK:
+                RESULT["train_samples_per_sec"][name] = sps
+                RESULT["train_flops_per_sample"][name] = round(fps / 1e9, 3)
+                if name == "bf16_b128":
+                    RESULT["train_mfu_bf16"] = round(sps * fps / V5E_BF16_PEAK, 4)
+                if name == "bf16_b256_fused":
+                    RESULT["train_mfu_bf16_fused"] = round(
+                        sps * fps / V5E_BF16_PEAK, 4)
+                RESULT["stages_done"].append(f"train:{name}")
+            emit(f"train:{name}")
         except Exception as exc:  # pragma: no cover
             print(f"train bench {name} failed: {exc}", file=sys.stderr)
-    return results
+
+
+def _worker():
+    """Stage order = reporting priority: insurance + headline first, then
+    the verdict-tracked training row, the granule modes, and only then the
+    serving comparison rows and remaining training rows — so a congested
+    tunnel truncates the report from the least important end."""
+    try:
+        with _LOCK:
+            RESULT["device"] = str(jax.devices()[0])
+        ctx = bench_serving_core()
+        bench_training(["bf16_b256_fused"])
+        bench_granule(ctx)
+        bench_serving_rest(ctx)
+        bench_training(["bf16_b128", "f32_b32"])
+    except BaseException as exc:  # pragma: no cover
+        print(f"bench worker died: {exc!r}", file=sys.stderr)
 
 
 def main():
-    paths, batches, granule = bench_serving()
-    train = bench_training()
-    best_path = max(paths, key=paths.get) if paths else ""
-    best = paths.get(best_path, 0.0)
-    print(json.dumps({
-        "metric": "sr_patches_per_sec_per_chip",
-        "value": best,
-        "unit": "patches/s",
-        "vs_baseline": round(best / 10000.0, 3),
-        "batch": batches.get(best_path),
-        "path": best_path,
-        "paths": paths,
-        "granule": granule,
-        "mfu_int8": round(best * PATCH_FLOPS / V5E_INT8_PEAK, 4),
-        "train_samples_per_sec": train,
-        "train_mfu_bf16": (
-            round(train["bf16_b128"] * TRAIN_FLOPS_PER_SAMPLE / V5E_BF16_PEAK, 4)
-            if "bf16_b128" in train else None),
-        "train_mfu_bf16_fused": (
-            round(train["bf16_b256_fused"] * TRAIN_FLOPS_PER_SAMPLE / V5E_BF16_PEAK, 4)
-            if "bf16_b256_fused" in train else None),
-        "device": str(jax.devices()[0]),
-    }))
+    done = threading.Event()
+
+    def _finish(tag):
+        emit(tag)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    def _on_signal(signum, frame):  # pragma: no cover
+        _finish(f"signal {signum}")
+
+    # the MAIN thread only sleeps below, so these fire promptly even when
+    # the worker is wedged inside an uninterruptible tunnel call
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    t = threading.Thread(target=lambda: (_worker(), done.set()), daemon=True)
+    t.start()
+    remaining = _WALL_S - (time.perf_counter() - _T0)
+    done.wait(timeout=max(1.0, remaining))
+    _finish("wall" if not done.is_set() else "complete")
 
 
 if __name__ == "__main__":

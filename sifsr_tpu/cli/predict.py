@@ -176,6 +176,13 @@ def main(argv=None):
     parser.add_argument("--device-tiling", action="store_true",
                         help="tile + mosaic on device (one upload/download; "
                              "fastest when the host<->device link is slow)")
+    parser.add_argument("--mode", default=None,
+                        choices=("host_pipeline", "device_tiling",
+                                 "device_tiling_wire", "auto"),
+                        help="granule serving mode; 'auto' probes the "
+                             "host<->device link once and picks the mode "
+                             "the measured regime favours (overrides "
+                             "--device-tiling/--wire)")
     parser.add_argument("--f32", action="store_true", help="serve in float32 instead of bf16")
     parser.add_argument("--pad-impl", default="fused",
                         choices=("fused", "explicit"),
@@ -228,6 +235,7 @@ def main(argv=None):
             coverage=0.0, sr_step=step, step_params=qparams,
             device_tiling=args.device_tiling,
             wire=None if args.wire == "f32" else args.wire,
+            mode=args.mode,
         )
     else:
         mosaic = predict_granule(
@@ -237,6 +245,7 @@ def main(argv=None):
             overlap=args.overlap, device_tiling=args.device_tiling,
             wire=None if args.wire == "f32" else args.wire,
             pad_impl=args.pad_impl,
+            mode=args.mode,
         )
 
     os.makedirs(args.save_path, exist_ok=True)

@@ -30,7 +30,8 @@ from sifsr_tpu.data.statistics import Statistics
 from sifsr_tpu.models.unet import ModelB2
 from sifsr_tpu.ops.resize import upsample_bicubic
 
-__all__ = ["tile_granule", "untile_mosaic", "make_sr_step", "predict_granule"]
+__all__ = ["tile_granule", "untile_mosaic", "make_sr_step", "predict_granule",
+           "probe_link", "choose_granule_mode"]
 
 
 def tile_granule(lst: np.ndarray, ndvi: np.ndarray, window: int = 64, factor: int = 4):
@@ -192,6 +193,99 @@ def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
     return run_device
 
 
+_LINK_PROBE_CACHE: dict = {}
+
+
+def probe_link(refresh: bool = False, bulk_mb: int = 8):
+    """Measure the host<->device link once: dispatch round-trip latency and
+    bulk h2d/d2h bandwidth. Cached per process (granule serving calls this
+    once, not per granule).
+
+    Returns {"rtt_s", "h2d_bytes_per_s", "d2h_bytes_per_s"}.
+    """
+    if _LINK_PROBE_CACHE and not refresh:
+        return _LINK_PROBE_CACHE
+    tiny = np.zeros((8,), np.float32)
+    float(jax.device_put(tiny).sum())  # warm the dispatch path
+    rtt = min(
+        _timed(lambda: float(jax.device_put(tiny).sum())) for _ in range(3))
+    buf = np.zeros((bulk_mb * 1024 * 1024 // 4,), np.float32)
+    float(jax.device_put(buf).sum())  # warm transfer buffers / compile sum
+    up = _timed(lambda: float(jax.device_put(buf).sum()))
+    dev_buf = jax.device_put(buf) + 0.0
+    float(dev_buf[0])  # ensure materialised
+    down = _timed(lambda: np.asarray(dev_buf))
+    _LINK_PROBE_CACHE.update(
+        rtt_s=rtt,
+        h2d_bytes_per_s=buf.nbytes / max(up - rtt, 1e-9),
+        d2h_bytes_per_s=buf.nbytes / max(down, 1e-9),
+    )
+    return _LINK_PROBE_CACHE
+
+
+def _timed(fn):
+    import time
+
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+# rough per-patch device compute estimate for the mode decision only
+# (the pallas/bf16 serving paths land between 5.7k and 10k patches/s on v5e;
+# the decision is insensitive to this within an order of magnitude because
+# the two regimes it separates differ by ~100x in link bandwidth)
+_EST_PATCHES_PER_S = 8000.0
+# host-side tile/scatter memcpy rate estimate (single-thread numpy reshape
+# + transpose of the granule, measured ~4 GB/s on this class of host)
+_EST_HOST_BYTES_PER_S = 4e9
+
+
+def choose_granule_mode(lst_shape, window: int, factor: int, batch_size: int,
+                        link=None) -> dict:
+    """Pick host_pipeline vs device_tiling(+wire) from a link probe.
+
+    The measured breakdown (FUTURE.md, round 4): device_tiling's wall is
+    STRICTLY upload + compute + download (one fused program, two bulk
+    transfers), while the host pipeline overlaps per-batch upload/compute/
+    download triples, so its wall approaches the pure link time — but it
+    pays 2·n_batches dispatch round-trips and does the tile/scatter memcpy
+    on the host. Bandwidth-bound link (this harness's tunnel) -> pipeline;
+    dispatch-latency-bound link (a real PCIe host) -> device_tiling.
+    """
+    link = link or probe_link()
+    gh, gw = lst_shape[0] // window, lst_shape[1] // window
+    n = gh * gw
+    n_batches = -(-n // batch_size)
+    fwin = window * factor
+    up = 4 * (gh * gw * window * window) * (1 + factor * factor)
+    down = 4 * (gh * gw * fwin * fwin)
+    t_up = up / link["h2d_bytes_per_s"]
+    t_down = down / link["d2h_bytes_per_s"]
+    t_compute = n / _EST_PATCHES_PER_S
+    t_host = (up + down) / _EST_HOST_BYTES_PER_S
+    # device_tiling: one fused program — upload, compute and download are
+    # STRICTLY serialized (the r4 measured breakdown), plus 2 dispatches
+    t_dt = t_up + t_down + t_compute + 2 * link["rtt_s"]
+    # host pipeline: the per-batch upload/compute/download triples overlap,
+    # so the steady state is bounded by the slowest stream (uploads and
+    # downloads ride opposite link directions); the pipeline fill/drain
+    # skew costs ~one batch of each transfer, and the host pays the
+    # tile/scatter memcpy plus one dispatch rtt per batch
+    t_hp = (max(t_up, t_down, t_compute)
+            + (t_up + t_down) / max(n_batches, 1)
+            + t_host + n_batches * link["rtt_s"])
+    decision = {
+        "mode": "device_tiling" if t_dt < t_hp else "host_pipeline",
+        "t_device_tiling_s": round(t_dt, 4),
+        "t_host_pipeline_s": round(t_hp, 4),
+        "rtt_s": round(link["rtt_s"], 5),
+        "h2d_mb_s": round(link["h2d_bytes_per_s"] / 1e6, 1),
+        "d2h_mb_s": round(link["d2h_bytes_per_s"] / 1e6, 1),
+    }
+    return decision
+
+
 def predict_granule(
     variables,
     lst_granule: np.ndarray,
@@ -212,6 +306,7 @@ def predict_granule(
     device_tiling: bool = False,
     wire: str | None = None,
     pad_impl: str = "fused",
+    mode: str | None = None,
 ) -> np.ndarray:
     """SR a whole granule; returns the (factor·H, factor·W) Kelvin mosaic.
 
@@ -260,7 +355,37 @@ def predict_granule(
     BN-folded) step — 'fused' (default, +12% device throughput) or
     'explicit' (the reference's materialised pads); see
     inference.make_sr_step. Ignored when sr_step is supplied.
+
+    mode: high-level mode selector overriding device_tiling/wire:
+    'host_pipeline', 'device_tiling', 'device_tiling_wire', or 'auto'.
+    'auto' probes the host<->device link once per process (one dispatch
+    round-trip + one bulk transfer, probe_link) and picks the mode the
+    measured link regime favours (choose_granule_mode): a bandwidth-bound
+    link (e.g. this harness's tunnel) -> overlapped host pipeline; a
+    dispatch-latency-bound link (a real PCIe host) -> device_tiling. The
+    decision is logged to stderr. wire stays an explicit knob (its win
+    depends on the link's 16-bit-path rate, which the probe does not
+    measure); combine as mode='auto', wire='int' if the link is known
+    MODIS-lossless-friendly.
     """
+    if mode is not None:
+        if mode == "auto":
+            decision = choose_granule_mode(lst_granule.shape, window, factor,
+                                           batch_size)
+            device_tiling = decision["mode"] == "device_tiling"
+            import sys as _sys
+
+            print(f"predict_granule auto mode: {decision}", file=_sys.stderr)
+        elif mode == "host_pipeline":
+            device_tiling = False
+        elif mode == "device_tiling":
+            device_tiling = True
+        elif mode == "device_tiling_wire":
+            device_tiling, wire = True, "int"
+        else:
+            raise ValueError(
+                f"mode must be host_pipeline/device_tiling/"
+                f"device_tiling_wire/auto, got {mode!r}")
     if ndvi_clip:
         ndvi_granule = np.clip(ndvi_granule, -1.0, 1.0)  # predict.py:88-89
     fwin = window * factor

@@ -14,9 +14,11 @@ Two complementary counts:
   Pallas custom calls count ZERO here, so for quantized serving paths use
   the analytic count (the pallas kernels do the same conv math in int8).
 
-Verified relationship (f32 serving step, batch 8): analytic 2.85 GFLOP/patch,
-XLA total 4.17 GFLOP/patch — the 1.3 GFLOP gap is the resize matmuls +
-elementwise, as expected.
+Verified relationship (f32 serving step, batch 8): analytic 3.61 GFLOP/patch,
+XLA total 4.17 GFLOP/patch — the 0.56 GFLOP gap is the resize matmuls +
+elementwise, as expected. (Round-4 shipped 2.85e9 here by mis-modelling the
+bilinear UpBlock's mid channels — DoubleConv mid = in//2, not out — which
+understated every reported MFU by ~21%; fixed round 5.)
 """
 
 from __future__ import annotations
@@ -56,13 +58,15 @@ def modelb2_conv_flops(
         ((hw // 8) ** 2, c2, c2),
         ((hw // 8) ** 2, c2, c2),
         ((hw // 8) ** 2, c2, c2),
-        # ub1 @ hw/4: concat(c2+c2) -> DoubleConv(2c2 -> c1)
-        ((hw // 4) ** 2, 2 * c2, c1),
-        ((hw // 4) ** 2, c1, c1),
-        # ub2 @ hw/2: concat(c1+c1) -> DoubleConv(2c1 -> c0)
-        ((hw // 2) ** 2, 2 * c1, c0),
-        ((hw // 2) ** 2, c0, c0),
-        # ub3 @ hw: concat(c0+c0) -> DoubleConv(2c0 -> c0)
+        # ub1 @ hw/4: concat(c2+c2) -> DoubleConv with mid = in//2
+        # (bilinear UpBlock, models/unet.py UpBlock.__call__; reference
+        # model.py:208): 2c2 -> c2 -> c1
+        ((hw // 4) ** 2, 2 * c2, c2),
+        ((hw // 4) ** 2, c2, c1),
+        # ub2 @ hw/2: concat(c1+c1) -> 2c1 -> c1 -> c0
+        ((hw // 2) ** 2, 2 * c1, c1),
+        ((hw // 2) ** 2, c1, c0),
+        # ub3 @ hw: concat(c0+c0) -> 2c0 -> c0 -> c0 (mid = in//2 = c0)
         (hw * hw, 2 * c0, c0),
         (hw * hw, c0, c0),
         # outlay (model.py:605)

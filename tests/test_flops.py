@@ -8,9 +8,11 @@ from sifsr_tpu.utils.flops import modelb2_conv_flops, xla_flops
 
 def test_modelb2_conv_flops_reference_config():
     """The default config's counted per-patch conv cost (the PATCH_FLOPS
-    constant bench.py reports MFU against). 2.85 GFLOP — the round-3
-    hardcoded 3.0e9 guess was 5% high."""
-    assert modelb2_conv_flops() == 2850029568.0
+    constant bench.py reports MFU against). 3.605 GFLOP — the round-4 count
+    of 2.85e9 mis-modelled the bilinear UpBlock mid channels (mid = in//2,
+    reference model.py:208), understating ub1/ub2; the round-3 hardcoded
+    3.0e9 guess was ~17% LOW, not 5% high."""
+    assert modelb2_conv_flops() == 3605004288.0
 
 
 def test_conv_flops_scale_quadratically_with_resolution():

@@ -173,3 +173,45 @@ def test_predict_granule_wire_int_matches_f32(rng, tiny_setup):
     valid = ref_q != 0.0
     # half an output LSB (0.01 K) plus f32-representation noise on the grid
     assert np.abs(out_q[valid] - ref_q[valid]).max() <= 0.011
+
+
+def test_choose_granule_mode_link_regimes():
+    """The auto-mode decision model picks the overlapped host pipeline on a
+    bandwidth-bound link (this harness's tunnel: ~20 MB/s, ms-scale rtt) and
+    device_tiling on a dispatch-latency-bound link (a real PCIe host:
+    ~10 GB/s, where two bulk transfers beat 2*n_batches dispatch round
+    trips) — the two regimes measured in FUTURE.md's round-4 breakdown."""
+    from sifsr_tpu.inference import choose_granule_mode
+
+    tunnel = dict(rtt_s=5e-3, h2d_bytes_per_s=20e6, d2h_bytes_per_s=20e6)
+    pcie = dict(rtt_s=5e-3, h2d_bytes_per_s=10e9, d2h_bytes_per_s=10e9)
+    d_tunnel = choose_granule_mode((1200, 1200), 64, 4, 108, link=tunnel)
+    d_pcie = choose_granule_mode((1200, 1200), 64, 4, 108, link=pcie)
+    assert d_tunnel["mode"] == "host_pipeline"
+    assert d_pcie["mode"] == "device_tiling"
+    # the predicted walls must order consistently with the decision
+    assert d_tunnel["t_host_pipeline_s"] < d_tunnel["t_device_tiling_s"]
+    assert d_pcie["t_device_tiling_s"] < d_pcie["t_host_pipeline_s"]
+
+
+def test_predict_granule_mode_auto_matches_fixed(rng, tiny_setup, monkeypatch):
+    """mode='auto' must produce the same mosaic as whichever fixed mode it
+    picks (the probe only selects a path, never changes numerics)."""
+    import sifsr_tpu.inference as inf
+
+    model, variables = tiny_setup
+    lst = (300 + 5 * rng.random((128, 128))).astype(np.float32)
+    ndvi = (rng.random((512, 512)) * 0.8).astype(np.float32)
+    kw = dict(stats=STATS, model=model, batch_size=4,
+              compute_dtype=jnp.float32)
+
+    # pin the probe so the test is deterministic (no real link measurement)
+    monkeypatch.setattr(inf, "probe_link",
+                        lambda **_: dict(rtt_s=5e-3, h2d_bytes_per_s=10e9,
+                                         d2h_bytes_per_s=10e9))
+    auto = predict_granule(variables, lst, ndvi, mode="auto", **kw)
+    fixed = predict_granule(variables, lst, ndvi, mode="device_tiling", **kw)
+    np.testing.assert_allclose(auto, fixed, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        predict_granule(variables, lst, ndvi, mode="bogus", **kw)
