@@ -246,6 +246,13 @@ def main(argv=None):
                              "max-abs on every harness metric (full 80-pair "
                              "run: RMSE -0.014 K, SSIM +0.007, and lands "
                              "within noise of f32)")
+    parser.add_argument("--device-metrics", action="store_true",
+                        help="score the whole metric block (PSNR/SSIM/GSSIM/"
+                             "stratified RMSE/RMSE_grad) for ALL pairs in "
+                             "one jitted device call (padded/masked batch "
+                             "over the variable-shape crops) instead of "
+                             "per-pair host numpy; values match the host "
+                             "path to <1e-4")
     parser.add_argument("--crop", default="erosion",
                         choices=["erosion", "reference"],
                         help="common-area crop: 'erosion' (ramp-free, "
@@ -278,6 +285,7 @@ def main(argv=None):
         save_pairs_dir=out_dir if args.save_pairs else None,
         figures_dir=os.path.join(out_dir, "figures") if args.figures else None,
         crop_mode=args.crop,
+        device_metrics=args.device_metrics,
     )
     print("|-------- Statistics --------|")
     print(df.loc["mean"])

@@ -194,6 +194,7 @@ def _evaluate_pair_reference(
     lpips_metric: LPIPS | None = None,
     min_overlap: int = 40,
     return_crops: bool = False,
+    skip_metrics: bool = False,
 ):
     """The reference script's eval geometry, reproduced end-to-end
     (model_perf_aster_formatds.py:253-369):
@@ -312,7 +313,10 @@ def _evaluate_pair_reference(
     if (crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap
             or crop_sr.shape != crop_aster.shape):
         return None
-    metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+    if skip_metrics and not return_crops:
+        return {"LST_SR": crop_sr, "LST_ASTER": crop_aster}
+    metrics = None if skip_metrics else compute_pair_metrics(
+        crop_sr, crop_aster, lpips_metric)
     if not return_crops:
         return metrics
 
@@ -353,11 +357,17 @@ def evaluate_pair(
     min_overlap: int = 40,
     return_crops: bool = False,
     crop_mode: str = "erosion",
+    skip_metrics: bool = False,
 ):
     """Steps 2-6 for one pair; returns the metric dict (or, with
     return_crops, (metrics, crops-dict in the {idx}_dict_pred.pkl layout of
     model_perf_aster_formatds.py:499-503)) or None if the common area is too
     small (reference skips overlaps <= 40 px, :371).
+
+    skip_metrics: geometry only — returns the crops dict (full layout with
+    return_crops, else just {'LST_SR', 'LST_ASTER'}) so run_evaluation's
+    batched on-device metric path (eval.device_metrics) can score every
+    pair in one jitted call instead of per-pair host numpy.
 
     crop_mode: 'erosion' (default) kills the bilinear edge ramps before the
     corner crop (tighter, ramp-free common area); 'reference' reproduces the
@@ -366,7 +376,8 @@ def evaluate_pair(
     slices) for anchor-number parity — see _evaluate_pair_reference."""
     if crop_mode == "reference":
         return _evaluate_pair_reference(
-            pair, aster_path, lst_sr, lpips_metric, min_overlap, return_crops
+            pair, aster_path, lst_sr, lpips_metric, min_overlap, return_crops,
+            skip_metrics=skip_metrics,
         )
     cy, cx = pair.center
 
@@ -482,7 +493,10 @@ def evaluate_pair(
     if crop_aster.shape[0] <= min_overlap or crop_aster.shape[1] <= min_overlap:
         return None
 
-    metrics = compute_pair_metrics(crop_sr, crop_aster, lpips_metric)
+    if skip_metrics and not return_crops:
+        return {"LST_SR": crop_sr, "LST_ASTER": crop_aster}
+    metrics = None if skip_metrics else compute_pair_metrics(
+        crop_sr, crop_aster, lpips_metric)
     if not return_crops:
         return metrics
     crops = {
@@ -592,12 +606,20 @@ def run_evaluation(
     figures_dir: str | None = None,
     log_fn=print,
     crop_mode: str = "erosion",
+    device_metrics: bool = False,
 ) -> "object":
     """Evaluate ``sr_fn(lst (64,64) K, ndvi (256,256)) -> (256,256) K`` over
     the whole formatted test set; returns the pandas results frame and
     optionally writes the reference-layout performances.csv. With
     save_pairs_dir, each pair's cropped arrays are pickled as
-    {idx}_dict_pred.pkl for the compare_methods spectral batch job."""
+    {idx}_dict_pred.pkl for the compare_methods spectral batch job.
+
+    device_metrics=True scores every pair's metric block in ONE jitted
+    device call after the crop loop (eval.device_metrics: padded/masked
+    batch over the variable-shape crops) instead of per-pair host numpy;
+    per-pair values match the numpy path to <1e-4
+    (tests/test_device_metrics.py). LPIPS (weights-gated) stays per-pair
+    on host either way."""
     import pandas as pd
 
     if save_pairs_dir:
@@ -616,26 +638,53 @@ def run_evaluation(
         want_crops = bool(save_pairs_dir or figures_dir)
         result = evaluate_pair(
             pair, aster_path, lst_sr, lpips_metric, return_crops=want_crops,
-            crop_mode=crop_mode,
+            crop_mode=crop_mode, skip_metrics=device_metrics,
         )
         if result is None:
             log_fn(f"pair {idx}: skipped (no usable overlap)")
             continue
-        if want_crops:
+        if device_metrics:
+            crops = result[1] if want_crops else result
+        elif want_crops:
             metrics, crops = result
+        else:
+            metrics, crops = result, None
+        if want_crops:
             if save_pairs_dir:
                 with open(os.path.join(save_pairs_dir, f"{idx}_dict_pred.pkl"), "wb") as f:
                     pickle.dump(crops, f)
             if figures_dir:
                 os.makedirs(figures_dir, exist_ok=True)
                 save_pair_figure(crops, os.path.join(figures_dir, f"{idx}_predictions_cropped.png"))
+        if device_metrics:
+            # LPIPS stays host-side (same normalisation as
+            # compute_pair_metrics); the 8 device columns land after the loop
+            lp = float("nan")
+            crop_sr, crop_aster = crops["LST_SR"], crops["LST_ASTER"]
+            if lpips_metric is not None:
+                maxi = max(crop_aster.max(), crop_sr.max())
+                mini = min(crop_aster.min(), crop_sr.min())
+                lp = lpips_metric((crop_sr - mini) / (maxi - mini),
+                                  (crop_aster - mini) / (maxi - mini))
+            rows[idx] = {"LPIPS": lp, "_crops": (crop_sr, crop_aster)}
+            log_fn(f"pair {idx}: cropped {crop_sr.shape} (metrics batched)")
         else:
-            metrics = result
-        rows[idx] = metrics
-        log_fn(f"pair {idx}: " + "  ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+            rows[idx] = metrics
+            log_fn(f"pair {idx}: " + "  ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
         count += 1
         if limit is not None and count >= limit:
             break
+
+    if device_metrics and rows:
+        from sifsr_tpu.eval.device_metrics import device_metric_rows
+
+        order = list(rows)
+        mrows = device_metric_rows([rows[i]["_crops"] for i in order])
+        for idx, mr in zip(order, mrows):
+            mr["LPIPS"] = rows[idx]["LPIPS"]
+            rows[idx] = mr
+            log_fn(f"pair {idx}: " + "  ".join(
+                f"{k}={v:.3f}" for k, v in mr.items()))
 
     df = pd.DataFrame.from_dict(rows, orient="index", columns=list(METRIC_COLUMNS))
     base = df.copy()

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 
 from sifsr_tpu.utils.flops import modelb2_conv_flops, xla_flops
+import pytest
 
 
 def test_modelb2_conv_flops_reference_config():
@@ -19,6 +20,7 @@ def test_conv_flops_scale_quadratically_with_resolution():
     assert modelb2_conv_flops(hw=128) * 4 == modelb2_conv_flops(hw=256)
 
 
+@pytest.mark.slow
 def test_analytic_count_vs_xla_cost_analysis():
     """The analytic conv count must be a lower bound on (and the dominant
     part of) what XLA actually schedules for the serving step — the convs

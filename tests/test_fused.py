@@ -1,6 +1,7 @@
 """BN-folded inference model must match the standard eval-mode forward."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,7 @@ def test_fused_pad_impl_matches_explicit(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_make_sr_step_pad_impls_agree():
     """End-to-end serving step (normalise + bicubic + forward + de-normalise)
     in Kelvin: fused vs explicit pads must agree far below the bf16 noise

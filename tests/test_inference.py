@@ -30,6 +30,7 @@ def test_tile_untile_roundtrip(rng):
     np.testing.assert_array_equal(untile_mosaic(ndvi_b, grid), ndvi)
 
 
+@pytest.mark.slow
 def test_predict_granule_shapes_and_coverage(rng, tiny_setup):
     model, variables = tiny_setup
     lst = (300 + 5 * rng.random((128, 128))).astype(np.float32)
@@ -43,6 +44,7 @@ def test_predict_granule_shapes_and_coverage(rng, tiny_setup):
     assert np.all(out[256:, 256:] != 0.0)         # valid block predicted
 
 
+@pytest.mark.slow
 def test_overlapped_blending_reduces_seams(rng, tiny_setup):
     model, variables = tiny_setup
     # smooth field -> SR output should be smooth; measure the seam jump at
@@ -66,6 +68,7 @@ def test_overlapped_blending_reduces_seams(rng, tiny_setup):
     assert np.abs(soft[interior] - hard[interior]).mean() < 2.0
 
 
+@pytest.mark.slow
 def test_predict_granule_sharded_matches_single(rng, tiny_setup):
     """Mesh-sharded granule SR equals the single-device result (tiles are
     independent; SPMD is semantics-preserving)."""
@@ -83,6 +86,7 @@ def test_predict_granule_sharded_matches_single(rng, tiny_setup):
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_predict_granule_device_tiling_matches_host(rng, tiny_setup):
     """The all-on-device tiling path (one upload, one download) returns the
     same mosaic as the host double-buffered pipeline, including coverage
@@ -144,6 +148,7 @@ def test_load_single_band_consumers_reject_multiband(tmp_path, rng):
         _load_ndvi(p, None, True)  # precomputed NDVI must be one band
 
 
+@pytest.mark.slow
 def test_predict_granule_wire_int_matches_f32(rng, tiny_setup):
     """wire='int' (uint16 LST / int16 NDVI up, uint16 Kelvin/0.02 down —
     half the transfer bytes) must match the f32-wire result within the
@@ -194,6 +199,7 @@ def test_choose_granule_mode_link_regimes():
     assert d_pcie["t_device_tiling_s"] < d_pcie["t_host_pipeline_s"]
 
 
+@pytest.mark.slow
 def test_predict_granule_mode_auto_matches_fixed(rng, tiny_setup, monkeypatch):
     """mode='auto' must produce the same mosaic as whichever fixed mode it
     picks (the probe only selects a path, never changes numerics)."""
@@ -215,3 +221,72 @@ def test_predict_granule_mode_auto_matches_fixed(rng, tiny_setup, monkeypatch):
 
     with pytest.raises(ValueError):
         predict_granule(variables, lst, ndvi, mode="bogus", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Stub-step plumbing tests: predict_granule's tiling/coverage/wire/mode logic
+# exercised with a trivial x4 'SR' step (jnp.repeat) instead of the U-Net —
+# compiles in milliseconds, so these stay in the core (non-slow) suite while
+# the end-to-end tiny-model parity tests above carry the `slow` mark.
+def _stub_step(params, lst_b, ndvi_b):
+    return jnp.repeat(jnp.repeat(lst_b, 4, axis=1), 4, axis=2)
+
+
+def _stub_kw():
+    return dict(stats=STATS, sr_step=_stub_step, step_params=None,
+                batch_size=4)
+
+
+def test_stub_granule_modes_agree(rng):
+    lst = (300 + 5 * rng.random((192, 192))).astype(np.float32)
+    lst[:64, 64:128] = 0.0
+    ndvi = (rng.random((768, 768)) * 0.8).astype(np.float32)
+    kw = _stub_kw()
+    host = predict_granule(None, lst, ndvi, coverage=0.05, **kw)
+    dev = predict_granule(None, lst, ndvi, coverage=0.05,
+                          mode="device_tiling", **kw)
+    assert host.shape == (768, 768)
+    np.testing.assert_allclose(host, dev, atol=1e-5)
+    assert np.all(host[:256, 256:512] == 0.0)  # masked invalid block
+
+
+def test_stub_granule_wire_int_roundtrip(rng):
+    """wire='int' quantises to the MODIS-native steps; for data already on
+    those steps the mosaic must be exact."""
+    lst = np.round((300 + 5 * rng.random((128, 128))) / 0.02) * 0.02
+    lst = lst.astype(np.float32)
+    ndvi = (np.round(rng.random((512, 512)) * 8000) * 1e-4).astype(np.float32)
+    kw = _stub_kw()
+    ref = predict_granule(None, lst, ndvi, **kw)
+    for mode in ({}, {"device_tiling": True}):
+        out = predict_granule(None, lst, ndvi, wire="int", **mode, **kw)
+        np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_stub_overlap_blending_preserves_constants(rng):
+    """The trapezoid taper must be a partition of unity wherever tiles
+    overlap: a constant granule comes back constant."""
+    lst = np.full((192, 192), 305.0, np.float32)
+    ndvi = np.full((768, 768), 0.4, np.float32)
+    out = predict_granule(None, lst, ndvi, overlap=16, **_stub_kw())
+    np.testing.assert_allclose(out, 305.0, atol=1e-3)
+
+
+def test_stub_mode_auto_equals_picked_fixed_mode(rng, monkeypatch):
+    import sifsr_tpu.inference as inf
+
+    lst = (300 + 5 * rng.random((128, 128))).astype(np.float32)
+    ndvi = (rng.random((512, 512)) * 0.8).astype(np.float32)
+    kw = _stub_kw()
+    # auto must equal whichever fixed mode its decision picks (the decision
+    # REGIMES are asserted on a full-size granule in
+    # test_choose_granule_mode_link_regimes; a 2x2-block granule is
+    # legitimately pipeline-favoured on any link — one batch, no dispatch
+    # amortisation for device_tiling to win back)
+    for link in (dict(rtt_s=5e-3, h2d_bytes_per_s=10e9, d2h_bytes_per_s=10e9),
+                 dict(rtt_s=5e-3, h2d_bytes_per_s=20e6, d2h_bytes_per_s=20e6)):
+        monkeypatch.setattr(inf, "probe_link", lambda **_: link)
+        decision = inf.choose_granule_mode(lst.shape, 64, 4, 4)
+        auto = predict_granule(None, lst, ndvi, mode="auto", **kw)
+        fixed = predict_granule(None, lst, ndvi, mode=decision["mode"], **kw)
+        np.testing.assert_allclose(auto, fixed, atol=1e-5)

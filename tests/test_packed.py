@@ -72,6 +72,7 @@ def test_packed_resize_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_packed_serving_matches_standard():
     """End-to-end: packed f32 serving == standard f32 serving on the real
     released weights (both BN-folded paths)."""

@@ -56,6 +56,7 @@ def test_fused_gradients_match_explicit():
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_init_identical_and_forward_close():
     m_e = ModelB2()
     m_f = ModelB2(pad_impl="fused")
@@ -73,6 +74,7 @@ def test_model_fused_init_identical_and_forward_close():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_fused_tracks_explicit():
     """A few predef_filters steps with each pad_impl stay numerically close
     (same data, same seed) — the fused path is a drop-in training fast path."""

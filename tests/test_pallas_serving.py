@@ -108,6 +108,7 @@ def test_predict_cli_pallas(tmp_path, rng, monkeypatch):
     assert 280 < np.mean(pred.array) < 330
 
 
+@pytest.mark.slow
 def test_pallas_calib_quantile_tightens_scales(rng):
     """build_pallas_serving_params(calib_quantile=...) must produce
     uniformly tighter (or equal) input scales than the max-abs rule."""

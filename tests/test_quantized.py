@@ -42,6 +42,7 @@ def test_quantized_tree_structure():
     assert leaf["scale"].shape == (16,)
 
 
+@pytest.mark.slow
 def test_int8_serving_quality_vs_f32(rng):
     """Dynamic per-sample int8 must stay within ~0.5 K of the f32 path on
     realistic inputs (measured ~0.05 K RMSE; sensor accuracy is ~2 K)."""
@@ -106,6 +107,7 @@ def test_int8_packed_path_quality(rng):
     assert np.sqrt((d**2).mean()) < 0.3
 
 
+@pytest.mark.slow
 def test_calibration_quantile_tightens_scales(rng):
     """calib_quantile clips the |x| tail: every static in_scale must be
     <= the max-abs rule's, strictly smaller for at least some convs, and

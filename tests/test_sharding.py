@@ -45,7 +45,7 @@ def test_parallel_train_step_runs_and_batch_stays_sharded(rng, tiny_model):
     step = make_train_step(tiny_model, "predef_filters", 0.99, -0.5, 295.0, 10.0)
     pstep = make_parallel_train_step(step, mesh)
 
-    batch = shard_batch(_batch(rng, 16), mesh)
+    batch = shard_batch(_batch(rng, 8), mesh)
     # verify the input really is sharded over the mesh
     assert batch["lst_up"].sharding == NamedSharding(mesh, P("data"))
 
@@ -96,6 +96,7 @@ def test_parallel_matches_single_device(rng, tiny_model):
     assert max(jax.tree.leaves(diffs)) < 5e-3
 
 
+@pytest.mark.slow
 def test_parallel_apply_keeps_outputs_sharded(rng, tiny_model):
     mesh = make_mesh(8)
     variables = tiny_model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 2)), train=False)
@@ -113,6 +114,7 @@ def test_parallel_apply_keeps_outputs_sharded(rng, tiny_model):
     assert out.sharding == NamedSharding(mesh, P("data"))
 
 
+@pytest.mark.slow
 def test_shard_mapped_pallas_ds_loss_matches_matmul_path(rng):
     """The fused Pallas ds-loss under a mesh (interpret mode standing in for
     real chips) must equal the auto-partitioned matmul path, forward AND
@@ -156,7 +158,7 @@ def test_train_step_with_mesh_runs_sharded(rng, tiny_model):
         mean_lst=295.0, std_lst=10.0, mesh=mesh,
     )
     pstep = make_parallel_train_step(step, mesh)
-    batch = shard_batch(_batch(rng, 16), mesh)
+    batch = shard_batch(_batch(rng, 8), mesh)
     state, metrics = pstep(state, batch)
     assert np.isfinite(float(metrics["loss"]))
 
