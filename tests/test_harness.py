@@ -77,14 +77,15 @@ def test_reference_crop_reproduces_notebook_anchor():
     decimated ASTER read convention; eval.harness._evaluate_pair_reference).
     Two assertions follow:
 
-    1. with the test-set statistics (the reference's data/statistics.json is
-       absent from its repo snapshot) the *alignment-dominated* metrics match:
-       SSIM within 2%, RMSE_grad within 4%;
-    2. with a plausible full-training-corpus statistics point
-       (mean_lst 303 K / std_lst 7 K — three summers of daytime h18v04 LST)
-       ALL FOUR anchors land within 4% simultaneously, demonstrating the
-       residual PSNR/RMSE delta under test-set stats is the missing
-       statistics.json, not the geometry (EVAL_RESULTS.md sweep)."""
+    With the test-set statistics (the reference's data/statistics.json is
+    absent from its repo snapshot) the *alignment-dominated* metrics must
+    match: SSIM within 2%, RMSE_grad within 4%. The PSNR/RMSE anchors are
+    statistics-DEPENDENT, so they are not asserted here: fitting a stats
+    point to make them pass would be circular (ADVICE r4). The evidence that
+    the residual PSNR/RMSE delta is the missing statistics.json — a sweep
+    where mean_lst 303 K / std_lst 7 K lands all four anchors within 4%
+    simultaneously — lives in EVAL_RESULTS.md (tools/stats_sensitivity.py),
+    as documentation rather than a regression assertion."""
     from sifsr_tpu.cli.model_perf import make_sr_fn
     from sifsr_tpu.eval.harness import evaluate_pair, load_test_pair
 
@@ -101,26 +102,6 @@ def test_reference_crop_reproduces_notebook_anchor():
     assert abs(ref["RMSE_grad"] - 6.96) / 6.96 < 0.04
     # the crop choice is the pair-0 RMSE delta: erosion excludes the ramp zone
     assert ero["RMSE"] < 1.6 < ref["RMSE"]
-
-    import json
-    import os
-    import tempfile
-
-    with open("data/statistics_testset.json") as f:
-        stats = json.load(f)
-    stats["mean_lst"], stats["std_lst"] = 303.0, 7.0
-    fd, path = tempfile.mkstemp(suffix=".json")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(stats, f)
-        sr2 = make_sr_fn("modelB", "weights/modelB_1009", path)(
-            pair.lst, pair.ndvi)
-    finally:
-        os.unlink(path)
-    ref2 = evaluate_pair(pair, aster, sr2, crop_mode="reference")
-    for key, anchor in (("PSNR", 22.25), ("SSIM", 0.69), ("RMSE", 1.95),
-                        ("RMSE_grad", 6.96)):
-        assert abs(ref2[key] - anchor) / anchor < 0.04, (key, ref2[key])
 
 
 @needs_data

@@ -29,6 +29,12 @@ def main():
     parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     parser.add_argument("--recipe", default="predef_filters")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--pad-impl", default="explicit",
+                        choices=["explicit", "fused", "zeros"],
+                        help="conv padding: explicit reference pads, fused "
+                             "border-ring correction, or zeros (SAME conv "
+                             "counterfactual — NOT replicate semantics, "
+                             "upper-bound probe only)")
     parser.add_argument("--metrics", action="store_true",
                         help="include on-device psnr/ssim metrics in the step")
     parser.add_argument("--iters", type=int, default=5)
@@ -51,7 +57,12 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     precision = (lax.Precision.DEFAULT if args.dtype == "bf16"
                  else lax.Precision.HIGHEST)
-    model = ModelB2(dtype=dtype, precision=precision)
+    if args.pad_impl == "zeros":
+        model = ModelB2(dtype=dtype, precision=precision,
+                        padding_mode="zeros")
+    else:
+        model = ModelB2(dtype=dtype, precision=precision,
+                        pad_impl=args.pad_impl)
     state = create_train_state(model, 1e-3, rng=jax.random.key(0),
                                input_hw=(256, 256))
     step = make_train_step(model, args.recipe, alpha=0.99, gamma=-0.5,
