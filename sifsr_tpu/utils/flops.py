@@ -23,7 +23,53 @@ understated every reported MFU by ~21%; fixed round 5.)
 
 from __future__ import annotations
 
-__all__ = ["modelb2_conv_flops", "xla_flops"]
+__all__ = ["modelb2_conv_flops", "modelb2_conv_list", "conv_lane_bound_s", "xla_flops"]
+
+
+def modelb2_conv_list(
+    hw: int = 256,
+    in_channels: int = 2,
+    downchannels: tuple[int, ...] = (16, 32, 64, 128),
+) -> list[tuple[int, int, int]]:
+    """The (n_px, c_in, c_out) plan of every 3x3 conv in one ModelB2 forward
+    (shared by the FLOP count and the lane-utilisation bound below)."""
+    return _conv_plan(hw, in_channels, downchannels)
+
+
+def conv_lane_bound_s(
+    hw: int = 256,
+    in_channels: int = 2,
+    downchannels: tuple[int, ...] = (16, 32, 64, 128),
+    peak_flops: float = 197e12,
+    backward: bool = True,
+    k: int = 3,
+) -> float:
+    """Per-sample lower bound (seconds) on the conv time of one train step
+    from MXU LANE utilisation alone: an XLA NHWC conv's output channels ride
+    the 128-lane dimension, so a conv with c_out < 128 can use at most
+    c_out/128 of the MXU regardless of fusion quality (the serving path
+    escapes this with packed-domain pallas kernels — 4x the MACs but
+    lane-dense; models/pallas_serving.py). backward adds dL/dx (lanes =
+    c_in; skipped for the input layer — no data gradient is needed) and
+    dL/dw (lanes = c_out) at the same per-conv cost model.
+
+    Round-5 numbers (defaults): fwd 106.5 us + bwd 178.6 us = 285 us/sample
+    -> 73 ms at batch 256 vs the 134.6 ms measured device step — i.e. the
+    channel plan itself caps XLA-conv training at ~2x the fused-pad
+    measured throughput; see FUTURE.md 'training structural limit'.
+    """
+    convs = _conv_plan(hw, in_channels, downchannels)
+
+    def t(n, ci, co, lanes):
+        return (2 * n * ci * co * k * k) / (peak_flops * min(lanes, 128) / 128)
+
+    total = sum(t(n, ci, co, co) for n, ci, co in convs)
+    if backward:
+        for i, (n, ci, co) in enumerate(convs):
+            if i > 0:  # no gradient to the network input
+                total += t(n, co, ci, ci)
+            total += t(n, ci, co, co)
+    return total
 
 
 def modelb2_conv_flops(
@@ -40,9 +86,14 @@ def modelb2_conv_flops(
     + Conv c->c_next) at hw/2², hw/4², hw/8² (last stays c2), three UpBlock
     (DoubleConv(2c -> c_skip)) back up, outlay Conv(c0 -> 1) @hw².
     """
+    convs = _conv_plan(hw, in_channels, downchannels)
+    return float(sum(2 * n * ci * co * k * k for n, ci, co in convs))
+
+
+def _conv_plan(hw, in_channels, downchannels):
     c0, c1, c2, _ = downchannels
     # (H*W, Cin, Cout) per 3x3 conv
-    convs = [
+    return [
         # inbloc DoubleConvolution (model.py:596)
         (hw * hw, in_channels, c0),
         (hw * hw, c0, c0),
@@ -72,7 +123,6 @@ def modelb2_conv_flops(
         # outlay (model.py:605)
         (hw * hw, c0, 1),
     ]
-    return float(sum(2 * n * ci * co * k * k for n, ci, co in convs))
 
 
 def xla_flops(jitted, *args, **kwargs) -> float:

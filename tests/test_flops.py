@@ -40,3 +40,17 @@ def test_analytic_count_vs_xla_cost_analysis():
     total = xla_flops(jax.jit(step), variables, lst, ndvi)
     conv = 2 * modelb2_conv_flops(hw=64)
     assert conv < total < 2.5 * conv
+
+
+def test_conv_lane_bound_properties():
+    """The lane-utilisation bound (FUTURE.md training structural limit):
+    fwd+bwd ~= 285 us/sample at the default plan, always >= the
+    lane-ignorant FLOP floor, and backward roughly doubles it."""
+    from sifsr_tpu.utils.flops import conv_lane_bound_s, modelb2_conv_flops
+
+    fwd = conv_lane_bound_s(backward=False)
+    full = conv_lane_bound_s()
+    floor = modelb2_conv_flops() / 197e12
+    assert fwd >= floor                      # lane waste only ever hurts
+    assert 2.0 * fwd < full < 3.5 * fwd      # bwd = ~2 more conv passes
+    assert abs(full * 1e6 - 285.1) < 1.0     # pin the documented number

@@ -67,3 +67,18 @@ def test_cubic_resize_identity(rng):
     img = rng.normal(size=(8, 8)).astype(np.float32)
     got = np.asarray(cubic_resize(jnp.asarray(img), (8, 8)))
     np.testing.assert_allclose(got, img, atol=1e-6)
+
+
+def test_upsample_bilinear_nhwc_hp_matches_nchw(rng):
+    """The training UpBlock's NHWC-native upsample (round 5 — kills the
+    moveaxis transpose copies) must match the NCHW matrix path."""
+    import jax.numpy as jnp
+
+    from sifsr_tpu.ops.resize import (upsample_bilinear_x2,
+                                      upsample_bilinear_x2_nhwc_hp)
+
+    x = rng.normal(size=(2, 12, 9, 5)).astype(np.float32)
+    want = np.moveaxis(np.asarray(
+        upsample_bilinear_x2(jnp.moveaxis(jnp.asarray(x), -1, 1))), 1, -1)
+    got = np.asarray(upsample_bilinear_x2_nhwc_hp(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
