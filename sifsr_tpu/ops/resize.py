@@ -43,6 +43,7 @@ __all__ = [
     "upsample_bicubic",
     "downsample_bicubic",
     "upsample_bilinear_x2",
+    "upsample_bilinear_x2_nhwc_hp",
 ]
 
 _A = -0.75  # Keys cubic coefficient used by cv2 INTER_CUBIC and torch bicubic.
@@ -142,6 +143,29 @@ def upsample_bilinear_x2(x: jnp.ndarray) -> jnp.ndarray:
     mat_h = jnp.asarray(resize_matrix(h, 2 * h, "linear_ac"), dtype=x.dtype)
     mat_w = jnp.asarray(resize_matrix(w, 2 * w, "linear_ac"), dtype=x.dtype)
     return _apply_separable(x, mat_h, mat_w)
+
+
+def upsample_bilinear_x2_nhwc_hp(x: jnp.ndarray) -> jnp.ndarray:
+    """align_corners bilinear x2 directly on (N, H, W, C), HIGHEST-precision
+    contractions — the transpose-free twin of upsample_bilinear_x2 (equal up
+    to summation order; parity test in tests/test_resize.py).
+
+    Round-5 NEGATIVE result worth keeping on record: swapping this into the
+    training UpBlock (hypothesis: the profile's copy.* ops were the
+    moveaxis transposes) measured 1,855 vs 1,851 samples/s at b256 bf16
+    fused — XLA already folds the moveaxis transposes into the einsum
+    dimension numbers, so the UpBlock keeps the original formulation for
+    bit-stable history. Kept as a public API for NHWC callers (the serving
+    path's models/fused.py has its own DEFAULT-precision twin)."""
+    import jax
+
+    h, w = x.shape[1], x.shape[2]
+    mat_h = jnp.asarray(resize_matrix(h, 2 * h, "linear_ac"), dtype=x.dtype)
+    mat_w = jnp.asarray(resize_matrix(w, 2 * w, "linear_ac"), dtype=x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", mat_h, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,nowc->nopc", mat_w, y,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # --------------------------------------------------- stencil formulation

@@ -90,13 +90,23 @@ def test_one_train_step_matches_torch():
     want = convert_torch_state_dict(post_sd)
 
     got_params = jax.device_get(state.params)
-    diffs = jax.tree.map(
-        lambda a, b: float(np.max(np.abs(a - b))), got_params, want["params"]
-    )
-    # Adam normalises by sqrt(v̂): where v is tiny, float32 gradient noise is
-    # amplified toward the lr scale; observed max ≈ 1e-4 at lr=1e-3.
-    max_diff = max(jax.tree.leaves(diffs))
-    assert max_diff < 3e-4, f"param mismatch after one Adam step: {max_diff}"
+    all_diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(got_params),
+                        jax.tree.leaves(want["params"]))
+    ])
+    # Adam normalises by sqrt(v̂): where v is tiny, float32 gradient
+    # summation-order noise is amplified toward the lr scale. Observed max
+    # ~1e-4 at default XLA opt, ~7.6e-4 under the test suite's
+    # --xla_backend_optimization_level=0 (different fusion/summation order;
+    # conftest.py) — only a handful of tiny-v elements sit there, so the
+    # bulk-of-parameters check stays tight while the max allows the
+    # amplified tail (a real train-step bug shifts weights at the full
+    # lr=1e-3 scale across the board, which both bounds catch).
+    max_diff = float(all_diffs.max())
+    q999 = float(np.quantile(all_diffs, 0.999))
+    assert q999 < 1e-4, f"bulk param mismatch after one Adam step: {q999}"
+    assert max_diff < 1e-3, f"param mismatch after one Adam step: {max_diff}"
 
     got_bs = jax.device_get(state.batch_stats)
     bs_diffs = jax.tree.map(

@@ -73,11 +73,9 @@ def test_calibration_attaches_static_scales(rng):
     qp_cal = calibrate_activation_scales(variables, qp, lst, ndvi, STATS)
     leaf = qp_cal["ub3"]["convbloc"]["conv2"]["conv"]
     assert "in_scale" in leaf and float(leaf["in_scale"]) > 0
-
-    i8_step = make_int8_sr_step(STATS)
-    out = np.asarray(i8_step(qp_cal, jnp.asarray(lst), jnp.asarray(ndvi)))
-    assert np.isfinite(out).all()
-    assert 280 < out.mean() < 330
+    # the int8 STEP execution on these scales lives in the slow tier
+    # (test_int8_serving_quality_vs_f32) — running the full int8 graph here
+    # cost 72 s at the suite's opt-level-0 execution speed
 
 
 @pytest.mark.slow
