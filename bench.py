@@ -19,12 +19,21 @@ landed before the single end-of-run print):
   * SIGTERM/SIGINT handlers (delivered to the sleeping main thread) emit
     the current result before exiting, so a driver `timeout` kill still
     yields a parsed record.
-  * Stage order is reporting priority: a bf16 XLA path (one compile) lands
-    an insurance number within minutes, then the pallas headline, the fused
-    training row, the granule modes, and only then the comparison serving
-    paths + remaining training rows. Every stage emits on completion and is
-    individually skippable once the soft deadline passes, so a congested
-    tunnel truncates the report from the least important end.
+  * Stage order is reporting priority: the pallas headline first (cache-
+    warm it lands ~2 min after device contact; device contact itself can
+    eat 15+ min under congestion, so the stage that defines the record
+    owns the first slot), then the bf16 XLA path (serve-daemon default /
+    cold-cache insurance), the fused training row, the comparison serving
+    paths, the remaining training rows, and the granule modes last (a
+    cold full-granule compile can wedge >40 min under congestion; it emits
+    after every mode so partial measurements still land). Every stage
+    emits on completion and is individually skippable once the soft
+    deadline passes, so a congested tunnel truncates the report from the
+    least important end.
+  * A persistent XLA compilation cache (.jax_compile_cache/, verified to
+    hit cross-process through the axon tunnel) is pre-warmed by running
+    bench.py after any graph-touching change, so the driver's run
+    recompiles nothing.
 
 Baseline: the BASELINE.json north-star of 10k patches/sec/chip on TPU v5e
 (the reference itself runs batch-1 on CPU/GPU with per-block host
@@ -62,6 +71,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: compiles through the axon tunnel cost
+# 3 s..10 min *each* depending on congestion (BENCH_r04 died to exactly
+# that), but cache HITS are verified to work across processes on this
+# backend (33.6 s cold -> 3.7 s warm on a probe graph). The cache is
+# pre-warmed by running bench.py once after any serving/training-step
+# change, so the driver's wall-clocked run recompiles nothing.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 # counted per-patch conv FLOPs (sifsr_tpu.utils.flops.modelb2_conv_flops —
 # a programmatic walk of the ModelB2 channel plan, regression-tested in
 # tests/test_flops.py)
@@ -76,8 +97,13 @@ TRAIN_FLOPS_FALLBACK = 12.21e9
 
 _T0 = time.perf_counter()
 # hard wall: the watchdog emits + exits at this point no matter what the
-# worker is doing. Keep >=25% under the driver's own wall.
-_WALL_S = float(os.environ.get("SIFSR_BENCH_WALL_S", "1050"))
+# worker is doing. Set ABOVE any plausible driver wall: the driver's own
+# `timeout` SIGTERM is caught and flushed (observed r4 rc=124 = SIGTERM),
+# so bench should keep measuring for as long as it is allowed to — a
+# congested tunnel can spend 15+ min on first device contact alone, and a
+# short internal wall was observed to cut the warm-cache headline stage
+# right after the insurance number landed.
+_WALL_S = float(os.environ.get("SIFSR_BENCH_WALL_S", "3000"))
 # soft deadline for optional stages (comparison paths / granule / training)
 _DEADLINE_S = float(os.environ.get("SIFSR_BENCH_DEADLINE_S",
                                    str(0.72 * _WALL_S)))
@@ -190,19 +216,11 @@ def bench_serving_core():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 2)), train=False)
     rng = np.random.default_rng(1)
 
-    # --- insurance number first: one XLA compile, lands within minutes ---
-    try:
-        from sifsr_tpu.inference import make_sr_step
-
-        sr_bf16 = make_sr_step(model, stats, jnp.bfloat16, True)
-        lst, ndvi = _serving_inputs(rng, 256)
-        dt, iters = _measure(lambda l, n: sr_bf16(variables, l, n), lst, ndvi,
-                             iters=50, repeats=2)
-        record_serving("bf16", round(256 * iters / dt, 1), 256)
-    except Exception as exc:  # pragma: no cover
-        print(f"bf16 insurance path failed: {exc}", file=sys.stderr)
-
-    # --- the headline pallas path ---
+    # --- the headline pallas path FIRST: with the pre-warmed compile cache
+    # it lands ~2 min after device contact, and contact itself can eat
+    # 15+ min of a congested session — the one stage the record can't do
+    # without must own the first slot. (On a cold cache the bf16 stage
+    # below still lands an insurance number if this one is slow or fails.)
     cal_lst = (290.0 + 5.0 * rng.random((8, 64, 64))).astype(np.float32)
     cal_ndvi = (rng.random((8, 256, 256)) * 0.8).astype(np.float32)
     pallas_params = None
@@ -222,6 +240,19 @@ def bench_serving_core():
         record_serving("pallas_full", round(384 * iters / dt, 1), 384)
     except Exception as exc:  # pragma: no cover
         print(f"pallas_full failed: {exc}", file=sys.stderr)
+
+    # --- the bf16 XLA path (serve-daemon default; also the insurance
+    # number when the pallas path is cold or broken) ---
+    try:
+        from sifsr_tpu.inference import make_sr_step
+
+        sr_bf16 = make_sr_step(model, stats, jnp.bfloat16, True)
+        lst, ndvi = _serving_inputs(rng, 256)
+        dt, iters = _measure(lambda l, n: sr_bf16(variables, l, n), lst, ndvi,
+                             iters=50, repeats=2)
+        record_serving("bf16", round(256 * iters / dt, 1), 256)
+    except Exception as exc:  # pragma: no cover
+        print(f"bf16 path failed: {exc}", file=sys.stderr)
     return dict(stats=stats, variables=variables, rng=rng,
                 cal_lst=cal_lst, cal_ndvi=cal_ndvi,
                 pallas_params=pallas_params)
@@ -284,12 +315,16 @@ def bench_granule(ctx):
                       step_params=pallas_params)
             reps = 4
             modes = {}
+            n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
             for name, mkw in (("host_pipeline", {}),
                               ("auto", {"mode": "auto"}),
                               ("device_tiling", {"device_tiling": True}),
                               ("device_tiling_wire",
                                {"device_tiling": True, "wire": "int"})):
-                if modes and _skip(f"granule mode {name}"):
+                # deadline-check EVERY mode (a cold device_tiling compile
+                # through a congested tunnel was observed to wedge for
+                # >40 min; the stage must not start one near the wall)
+                if _skip(f"granule mode {name}"):
                     continue
                 try:
                     predict_granule(None, lst_g, ndvi_g, **kw, **mkw)  # warm
@@ -303,9 +338,25 @@ def bench_granule(ctx):
                 except TypeError:
                     # older predict_granule without mode= (auto not present)
                     continue
+                # emit after EVERY mode: a later mode wedging inside an
+                # uninterruptible compile must not lose the measured ones
+                mode = min(modes, key=modes.get)
+                with _LOCK:
+                    RESULT["granule"] = {
+                        "patches_per_sec_wall": round(n_patches / modes[mode], 1),
+                        "granule_seconds": round(modes[mode], 3),
+                        "mid": best_mid,
+                        "mode": mode,
+                        "modes_seconds": {k: round(v, 3)
+                                          for k, v in modes.items()},
+                    }
+                    if "granule" not in RESULT["stages_done"]:
+                        RESULT["stages_done"].append("granule")
+                emit(f"granule mode {name}")
+            if not modes:
+                return
             mode = min(modes, key=modes.get)
             dt = modes[mode] * reps
-            n_patches = (1200 // 64) * (1200 // 64)  # 324 blocks/granule
 
             # attribute the granule wall: the f32 modes ship ~90 MB up and
             # ~85 MB down per granule, so on this harness the number is
@@ -331,7 +382,8 @@ def bench_granule(ctx):
                     "modes_seconds": {k: round(v, 3) for k, v in modes.items()},
                     "tunnel_host_to_device_mb_s": round(h2d, 1),
                 }
-                RESULT["stages_done"].append("granule")
+                if "granule" not in RESULT["stages_done"]:
+                    RESULT["stages_done"].append("granule")
             emit("granule")
         except Exception as exc:  # pragma: no cover
             print(f"granule bench failed: {exc}", file=sys.stderr)
@@ -434,9 +486,13 @@ def _worker():
             RESULT["device"] = str(jax.devices()[0])
         ctx = bench_serving_core()
         bench_training(["bf16_b256_fused"])
-        bench_granule(ctx)
         bench_serving_rest(ctx)
         bench_training(["bf16_b128", "f32_b32"])
+        # granule goes LAST: it is the most tunnel-exposed stage (cold
+        # device_tiling compiles have been observed to wedge >40 min under
+        # congestion), and it now emits per mode, so whatever it measures
+        # before the wall still lands
+        bench_granule(ctx)
     except BaseException as exc:  # pragma: no cover
         print(f"bench worker died: {exc!r}", file=sys.stderr)
 
