@@ -179,13 +179,19 @@ def _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats, quantile=None):
 
 def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
                                 stats, headroom: float = 1.05,
-                                calib_quantile: float | None = None) -> dict:
+                                calib_quantile: float | None = None,
+                                up2_impl: str = "mxu") -> dict:
     """ModelB2 variables + calibration patches -> the full parameter tree for
     make_pallas_sr_step. sample_lst (N,64,64) Kelvin, sample_ndvi (N,256,256).
 
     calib_quantile: None uses batch max|x| per tensor (no clipping on the
     calibration data); a quantile (e.g. 0.9999) clips that tail for tighter
-    scales."""
+    scales.
+
+    up2_impl: 'mxu' (default) uses the integer-exact MXU row-mix form of the
+    fused x2 upsamples (pallas/conv_px.up2_coeffs_mxu — one fewer rounding
+    than the VPU stencil form and measurably faster); 'vpu' keeps the
+    round-3 roll/fma form (bit-identical to upsample_phases)."""
     pp = jax.device_get(pack_serving_params(variables))
     rec, mid_rec = _f32_packed_mirror(pp, sample_lst, sample_ndvi, stats,
                                       quantile=calib_quantile)
@@ -270,7 +276,8 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
            if k not in ("inbloc", "ub3", "outlay")}
 
     pmid = _build_prow_mid(pp["mid"], mid_rec, s, headroom,
-                           2 * np.asarray(sample_lst).shape[1])
+                           2 * np.asarray(sample_lst).shape[1],
+                           up2_impl=up2_impl)
 
     return {
         "in1": in1, "in2": in2, "u31": u31, "u32": u32, "ol": ol, "mid": mid,
@@ -279,7 +286,7 @@ def build_pallas_serving_params(variables: dict, sample_lst, sample_ndvi,
     }
 
 
-def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp):
+def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp, up2_impl="mxu"):
     """Pallas p-row parameter tree for the mid chain (pallas/conv_px).
     hp: the packed level-0 size (2 * LST size); the fused-upsample stencil
     coefficient tables bind the prow params to this serving shape.
@@ -294,7 +301,10 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp):
     e-major groups absorbed by the consumer's in_perm weight packing), and
     the skip concats consume the producer's split half-planes directly.
     The 64-lane-out convs (ub1/ub2 conv2) run at doubled p via fold."""
-    from sifsr_tpu.pallas.conv_px import prow_leaf, up2_coeffs, up2_perm
+    from sifsr_tpu.pallas.conv_px import (
+        prow_leaf, up2_coeffs, up2_coeffs_mxu, up2_perm)
+
+    assert up2_impl in ("vpu", "mxu"), up2_impl
 
     def cal(*path):
         return mid_rec[tuple(path)] / 127.0 * headroom
@@ -303,8 +313,12 @@ def _build_prow_mid(mid_tree, mid_rec, s, headroom, hp):
         return np.asarray(node["conv"]["kernel"]), np.asarray(node["conv"]["bias"])
 
     def attach_up2(leaf, h, w, c_out, s_mid, s_up):
-        _, rc, cc, inv = up2_coeffs(h, w, c_out, s_mid, s_up)
-        leaf["rc"] = jnp.asarray(rc)
+        if up2_impl == "mxu":
+            _, rm, cc, inv = up2_coeffs_mxu(h, w, c_out, s_mid, s_up)
+            leaf["rm"] = jnp.asarray(rm)
+        else:
+            _, rc, cc, inv = up2_coeffs(h, w, c_out, s_mid, s_up)
+            leaf["rc"] = jnp.asarray(rc)
         leaf["cc"] = jnp.asarray(cc)
         leaf["inv"] = jnp.asarray(inv)
         return leaf
@@ -492,12 +506,19 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
             ).astype(jnp.float32) * ol_sc + ol_b
             return _depth_to_space(y[:, take_h, take_w], 1)[..., 0]
 
+        # border paste as ONE concat materialization (bit-identical to the
+        # former .at[].set chain: left/right strips own the corners, exactly
+        # as the last-writer-wins DUS order did). Four dynamic-update-slices
+        # on the (N, 256, 256) f32 output forced XLA to materialise copy
+        # passes of the full tensor; the concat writes every byte once.
         all_ = slice(None)
-        sr = sr.at[:, :2, :].set(strip(olp[:, 0:2], slice(0, 1), all_))
-        sr = sr.at[:, -2:, :].set(strip(olp[:, -2:], slice(1, 2), all_))
-        sr = sr.at[:, :, :2].set(strip(olp[:, :, 0:2], all_, slice(0, 1)))
-        sr = sr.at[:, :, -2:].set(strip(olp[:, :, -2:], all_, slice(1, 2)))
-        return sr
+        top = strip(olp[:, 0:2], slice(0, 1), all_)          # (N, 2, W)
+        bot = strip(olp[:, -2:], slice(1, 2), all_)
+        left = strip(olp[:, :, 0:2], all_, slice(0, 1))      # (N, H, 2)
+        right = strip(olp[:, :, -2:], all_, slice(1, 2))
+        center = jnp.concatenate(
+            [top[:, :, 2:-2], sr[:, 2:-2, 2:-2], bot[:, :, 2:-2]], axis=1)
+        return jnp.concatenate([left, center, right], axis=2)
 
     @jax.jit
     def sr_step(params, lst_blocks, ndvi_blocks):
@@ -515,7 +536,10 @@ def make_pallas_sr_step(stats, interpret: bool | None = None, mesh=None,
         lst_q = phases_to_packed_x4(upsample_phases(
             lst_n[..., None], 4, "cubic", out_dtype=jnp.int8,
             scale=in1["in_scale"], interpret=interpret))     # (N,hp,hp,4) i8
-        ndvi_q = _quant(_space_to_depth(ndvi_n[..., None]), in1["in_scale"])
+        # quantize BEFORE the space-to-depth relayout: the elementwise quant
+        # commutes with the transpose bit-for-bit, and the relayout then
+        # moves int8 (25 MB at batch 384) instead of f32 (100 MB)
+        ndvi_q = _space_to_depth(_quant(ndvi_n[..., None], in1["in_scale"]))
 
         # inbloc.conv1 (in-kernel tap stack, conv_i8_in1_split): the 3x3
         # packed neighbourhood is assembled in-register from 16-px rows (row

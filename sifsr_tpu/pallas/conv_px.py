@@ -63,6 +63,8 @@ __all__ = [
     "conv_prow_up2",
     "conv_prow_up2_pack",
     "up2_coeffs",
+    "up2_coeffs_mxu",
+    "up2_mxu_reference",
     "up2_perm",
     "nhwc_to_rows",
     "rows_to_nhwc",
@@ -629,6 +631,90 @@ def _conv_up2_kernel(x_ref, wm, wc, sc, b, rc_ref, cc_ref, inv_ref, out_ref,
     out_ref[...] = out.reshape(out_ref.shape)
 
 
+def _mxu_phase_planes(q, rm_ref, cc_ref, inv_ref, *, ib, hh, wcl, cdeltas,
+                      c_out):
+    """The 4 requantized int8 x2 phase planes ((d, e) order, each reshaped
+    to (ib*hh*wcl/128, 128)) via the integer-exact MXU row mix: one bf16
+    matmul per image replaces the VPU row pass (see up2_coeffs_mxu)."""
+    qb = q.reshape(ib * hh, wcl).astype(jnp.bfloat16)
+    rm = rm_ref[...]                                   # (2*hh, hh) bf16
+    rs = [jax.lax.dot_general(rm, qb[i * hh : (i + 1) * hh],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+          for i in range(ib)]
+    planes = []
+    for d in range(2):
+        if ib > 1:
+            r = jnp.concatenate([ri[d * hh : (d + 1) * hh] for ri in rs],
+                                axis=0)
+        else:
+            r = rs[0][d * hh : (d + 1) * hh]
+        col_shift = {dd: (pltpu.roll(r, (-dd * c_out) % wcl, axis=1)
+                          if dd else r) for dd in cdeltas}
+        for e in range(2):
+            yde = None
+            for j, dd in enumerate(cdeltas):
+                coef = cc_ref[e, j].reshape(1, wcl)
+                term = coef * col_shift[dd]
+                yde = term if yde is None else yde + term
+            planes.append(_requant(yde * inv_ref[0], jnp.int8)
+                          .reshape(ib * hh * wcl // 128, 128))
+    return planes
+
+
+def _conv_up2_mxu_kernel(x_ref, wm, wc, sc, b, rm_ref, cc_ref, inv_ref,
+                         out_ref, *, c, p, r_img, gpi, hh, ib, relu, cdeltas,
+                         c_out, p_out, fold):
+    """_conv_up2_kernel with the integer-exact MXU row mix (up2_impl='mxu');
+    the e-major group assembly is identical."""
+    v = x_ref[...].reshape(ib * r_img // fold, p * c)
+    y = _conv_once(v, c, wm, wc, r_img // fold, gpi, hh)
+    q = _requant(_epi(y, sc, b, relu), jnp.int8)
+    w_img = gpi * p
+    wcl = w_img * c_out
+    planes = _mxu_phase_planes(q, rm_ref, cc_ref, inv_ref, ib=ib, hh=hh,
+                               wcl=wcl, cdeltas=cdeltas, c_out=c_out)
+
+    def d_plane(q0, q1):
+        a0 = q0
+        a1 = q1
+        cat = jnp.concatenate(
+            [a0[:, :64], a1[:, :64], a0[:, 64:], a1[:, 64:]], axis=1)
+        return cat.reshape(2 * a0.shape[0], 128)
+
+    c0, c1 = d_plane(planes[0], planes[1]), d_plane(planes[2], planes[3])
+    b0 = c0.reshape(ib * hh, 2 * wcl)
+    b1 = c1.reshape(ib * hh, 2 * wcl)
+    out = jnp.concatenate([b0, b1], axis=1).reshape(2 * ib * hh, 2 * wcl)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+def _conv_up2_pack_mxu_kernel(x_ref, wm, wc, sc, b, rm_ref, cc_ref, inv_ref,
+                              pk_ref, out_ref, *, c, p, r_img, gpi, hh, ib,
+                              relu, cdeltas, c_out, fold):
+    """_conv_up2_pack_kernel with the integer-exact MXU row mix."""
+    v = x_ref[...].reshape(ib * r_img // fold, p * c)
+    y = _conv_once(v, c, wm, wc, r_img // fold, gpi, hh)
+    q = _requant(_epi(y, sc, b, relu), jnp.int8)
+    w_img = gpi * p
+    wcl = w_img * c_out
+    planes = _mxu_phase_planes(q, rm_ref, cc_ref, inv_ref, ib=ib, hh=hh,
+                               wcl=wcl, cdeltas=cdeltas, c_out=c_out)
+    cat = jnp.concatenate(planes, axis=1)              # (R2, 512)
+    pp = jax.lax.dot_general(cat, pk_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32).astype(jnp.int8)
+    out_ref[...] = pp.reshape(4 * pp.shape[0], 128).reshape(out_ref.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_cdeltas(w: int) -> tuple[int, ...]:
+    """Static column-pass tap offsets for the MXU row-mix kernels."""
+    from sifsr_tpu.pallas.resize_phases import _coeff_arrays
+
+    cdeltas, _ = _coeff_arrays(w, 2, "linear_ac", 1, False)
+    return tuple(cdeltas)
+
+
 @functools.lru_cache(maxsize=None)
 def _up2_deltas(h: int, w: int) -> tuple[int, ...]:
     """Static tap-offset set of the x2 linear_ac stencil (deltas must be
@@ -661,6 +747,101 @@ def up2_coeffs(h: int, w: int, c_out: int, s_mid: float, s_up: float):
     cc = expand(ccoef, cdeltas, w * c_out)
     inv = np.float32(1.0 / float(s_up))
     return deltas, rc.astype(np.float32), cc.astype(np.float32), inv
+
+
+# ------------------------ integer-exact MXU row-mix variant (up2_impl='mxu')
+#
+# The align-corners x2 coefficients are the rationals m/D with D = 2*size-1
+# and integer numerators m in [0, D] (src = i_out*(size-1)/D). That admits an
+# integer-exact refactoring that moves the whole ROW pass from the VPU onto
+# the (otherwise idle) MXU:
+#   - row pass: r = RM @ q as ONE bf16 matmul per image, where RM holds the
+#     integer numerators (<= 255 <= 2^8, exact in bf16) and q is the int8
+#     conv output (|q| <= 127, exact in bf16). The MXU accumulates in f32;
+#     every product (<= 255*127) and every 2-term row sum (<= D*127 =
+#     32 385 < 2^24) is exactly representable, so r is INTEGER-exact;
+#   - column pass: the usual per-lane roll/fma VPU pass, but with integer
+#     numerator coefficients — products (<= 255 * 32 385 = 8.26e6 < 2^24)
+#     and the 2-term sums (<= D_c * max|r| < 2^24, since the pair of
+#     numerators sums to exactly D_c) stay integer-exact in f32;
+#   - ONE rounding total: y * inv with inv = s_mid / (D_r * D_c * s_up),
+#     then the round/clip requant. (The VPU path rounds each coefficient to
+#     f32 and each product; this form is strictly closer to the true rational
+#     interpolation. Outputs can differ from the VPU path by 1 int8 quantum
+#     on round-boundary values — quality is gated end-to-end by the 80-pair
+#     harness, tests/test_conv_px_pallas.py pins bit-exactness vs
+#     up2_mxu_reference.)
+# Measured motivation: the VPU row pass (cast + roll + 2x fma chain over the
+# (ib*h, w*c_out) f32 plane) was ~40% of conv_prow_up2_pack's 5.6 ms/iter at
+# batch 384; the bf16 matmul form does the same mix in ~0.3 ms of MXU time.
+
+
+def _int_numerators(coef: np.ndarray, denom: int) -> np.ndarray:
+    """Recover the exact integer numerators m from f32-rounded m/denom."""
+    m = np.rint(coef.astype(np.float64) * denom)
+    err = np.max(np.abs(m - coef.astype(np.float64) * denom))
+    assert err < 0.01, (err, denom)
+    return m
+
+
+def up2_coeffs_mxu(h: int, w: int, c_out: int, s_mid: float, s_up: float):
+    """(cdeltas, rm (2h, h) bf16, cc (2, ncd, w*c_out) f32, inv f32) for the
+    MXU row-mix form of the fused x2 (see block comment above). rm rows are
+    d-major: row d*h + k produces fine row 2k + d."""
+    from sifsr_tpu.pallas.resize_phases import _coeff_arrays
+
+    d_r, d_c = 2 * h - 1, 2 * w - 1
+    rdeltas, rcoef = _coeff_arrays(h, 2, "linear_ac", 1, False)
+    cdeltas, ccoef = _coeff_arrays(w, 2, "linear_ac", c_out, True)
+    rint = _int_numerators(rcoef, d_r)                 # (2, nrd, h)
+    cint = _int_numerators(ccoef, d_c)                 # (2, ncd, w*c_out)
+    assert np.max(np.abs(rint)) <= d_r and np.max(np.abs(cint)) <= d_c
+
+    rm = np.zeros((2 * h, h), np.float64)
+    for d in range(2):
+        for jd, delta in enumerate(rdeltas):
+            for k in range(h):
+                m = rint[d, jd, k]
+                if m:
+                    rm[d * h + k, k + delta] = m
+    inv = np.float32(np.float64(s_mid) / (d_r * d_c * np.float64(s_up)))
+    return tuple(cdeltas), rm.astype(np.float32), cint.astype(np.float32), inv
+
+
+def up2_mxu_reference(mid_i8, h: int, w: int, c_out: int, s_mid, s_up):
+    """Integer-exact numpy twin of the MXU up2 path: (n, h, w, c) int8 ->
+    (n, 2h, 2w, c) int8 at the s_up scale (the fused kernels' epilogue
+    applied to the exact rational interpolation). Used by the exactness
+    tests; the single f32 rounding matches the kernels bit-for-bit."""
+    from sifsr_tpu.pallas.resize_phases import _coeff_arrays
+
+    mid = np.asarray(mid_i8).astype(np.float64)
+    n, hh, ww, c = mid.shape
+    assert (hh, ww, c) == (h, w, c_out)
+    d_r, d_c = 2 * h - 1, 2 * w - 1
+    rdeltas, rcoef = _coeff_arrays(h, 2, "linear_ac", 1, False)
+    cdeltas, ccoef = _coeff_arrays(w, 2, "linear_ac", 1, False)
+    rint = _int_numerators(rcoef, d_r)
+    cint = _int_numerators(ccoef, d_c)
+
+    def mix(size, deltas, coefs):
+        m = np.zeros((2 * size, size), np.float64)
+        for d in range(2):
+            for jd, delta in enumerate(deltas):
+                for k in range(size):
+                    v = coefs[d, jd, k]
+                    if v:
+                        m[d * size + k, k + delta] = v
+        # d-major -> fine-row order (2k + d)
+        return m[[d * size + k for k in range(size) for d in range(2)]]
+
+    rmat = mix(h, rdeltas, rint)                       # (2h, h) fine-row order
+    cmat = mix(w, cdeltas, cint)                       # (2w, w)
+    t = np.einsum("ok,nkwc->nowc", rmat, mid)          # integer-exact
+    y = np.einsum("pl,nolc->nopc", cmat, t)
+    inv = np.float32(np.float64(s_mid) / (d_r * d_c * np.float64(s_up)))
+    yq = np.round(y.astype(np.float32) * inv)
+    return np.clip(yq, -127, 127).astype(np.int8)
 
 
 def _pack_pairrow_matrix() -> np.ndarray:
@@ -736,13 +917,35 @@ def conv_prow_up2_pack(x_rows, leaf: dict, p: int, c: int, h: int,
     c_out = 16
     assert lanes * fold == p * c, (lanes, fold, p, c)
     gpi = h // p
+    mxu = "rm" in leaf
+    wcl = h * c_out
+    per_img = r_img * (9 * lanes + 12 * 128) + (30 if mxu else 24) * h * wcl
+    ib = _clamp_ib(n, per_img)
+    r_out = h * (h // 2)
+    if mxu:
+        cdeltas = _up2_cdeltas(h)
+        return pl.pallas_call(
+            functools.partial(_conv_up2_pack_mxu_kernel, c=c, p=p,
+                              r_img=r_img, gpi=gpi, hh=h, ib=ib, relu=relu,
+                              cdeltas=cdeltas, c_out=c_out, fold=fold),
+            grid=(n // ib,),
+            in_specs=[_img_block(ib, r_img, lanes),
+                      _wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+                      _wspec((1, p * c_out)), _wspec((1, p * c_out)),
+                      _wspec((2 * h, h)),
+                      _wspec((2, len(cdeltas), wcl)),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      _wspec((512, 512))],
+            out_specs=_img_block(ib, r_out, 128),
+            out_shape=jax.ShapeDtypeStruct((n, r_out, 128), jnp.int8),
+            interpret=interpret,
+        )(x_rows, leaf["wm"], leaf["wc"], _vec(leaf["scale"]),
+          _vec(leaf["bias"]), jnp.asarray(leaf["rm"], jnp.bfloat16),
+          jnp.asarray(leaf["cc"]), jnp.asarray(leaf["inv"]).reshape(1),
+          jnp.asarray(_pack_pairrow_matrix()))
     deltas = _up2_deltas(h, h)
     nd = len(deltas)
-    wcl = h * c_out
-    per_img = r_img * (9 * lanes + 12 * 128) + 24 * h * wcl
-    ib = _clamp_ib(n, per_img)
     rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
-    r_out = h * (h // 2)
     return pl.pallas_call(
         functools.partial(_conv_up2_pack_kernel, c=c, p=p, r_img=r_img,
                           gpi=gpi, hh=h, ib=ib, relu=relu, deltas=deltas,
@@ -791,10 +994,32 @@ def conv_prow_up2(x_rows, leaf: dict, p: int, c: int, c_out: int, p_out: int,
     assert (p_out // 2) * c_out == 64, (p_out, c_out)
     gpi_out = (2 * w) // p_out
     r_out = 2 * h * gpi_out
-    deltas = _up2_deltas(h, w)
-    nd = len(deltas)
     # the x2 planes (4x f32 (h, w*c_out)) dominate the footprint
     per_img = r_img * (9 * lanes + 12 * lanes_out) + 20 * h * w * c_out
+    if "rm" in leaf:
+        cdeltas = _up2_cdeltas(w)
+        ib = _clamp_ib(n, per_img + 10 * h * w * c_out)
+        return pl.pallas_call(
+            functools.partial(_conv_up2_mxu_kernel, c=c, p=p, r_img=r_img,
+                              gpi=gpi, hh=h, ib=ib, relu=relu,
+                              cdeltas=cdeltas, c_out=c_out, p_out=p_out,
+                              fold=fold),
+            grid=(n // ib,),
+            in_specs=[_img_block(ib, r_img, lanes),
+                      _wspec(leaf["wm"].shape), _wspec(leaf["wc"].shape),
+                      _wspec((1, lanes_out)), _wspec((1, lanes_out)),
+                      _wspec((2 * h, h)),
+                      _wspec((2, len(cdeltas), w * c_out)),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=_img_block(ib, r_out, p_out * c_out),
+            out_shape=jax.ShapeDtypeStruct((n, r_out, p_out * c_out),
+                                           jnp.int8),
+            interpret=interpret,
+        )(x_rows, leaf["wm"], leaf["wc"], _vec(leaf["scale"]),
+          _vec(leaf["bias"]), jnp.asarray(leaf["rm"], jnp.bfloat16),
+          jnp.asarray(leaf["cc"]), jnp.asarray(leaf["inv"]).reshape(1))
+    deltas = _up2_deltas(h, w)
+    nd = len(deltas)
     ib = _clamp_ib(n, per_img)
     rc = jnp.tile(jnp.asarray(leaf["rc"]), (1, 1, ib, 1))
     return pl.pallas_call(

@@ -276,3 +276,82 @@ def test_pack_prow_weights_dense_equivalence(rng):
     want = _requant(_ref_epilogue(_ref_conv_i32(x_q, _quant_ref(k)[0]),
                                   leaf, c_out))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------- MXU row-mix (up2_impl)
+
+
+def _requant_np(y):
+    return np.clip(np.round(y), -127, 127).astype(np.int8)
+
+
+@pytest.mark.parametrize("p,c,c_out,p_out,h,w,fold", [
+    (2, 64, 64, 2, 8, 16, 1),      # db3.last-like
+    (4, 64, 32, 4, 8, 16, 2),      # ub1.conv2-like (folded input rows)
+])
+def test_conv_prow_up2_mxu_exact(rng, p, c, c_out, p_out, h, w, fold):
+    """The integer-exact MXU row-mix form (leaf carries 'rm'): bit-identical
+    to up2_mxu_reference (the single-rounding rational interpolation)."""
+    from sifsr_tpu.pallas.conv_px import up2_coeffs_mxu, up2_mxu_reference
+
+    s_mid, s_up = 0.12, 0.2
+    x_q, k, bias = _rand_case(rng, 2, h, w, c, c_out)
+    leaf = prow_leaf(k, bias, p, s_in=0.17, s_out=s_mid)
+    _, rm, cc, inv = up2_coeffs_mxu(h, w, c_out, s_mid, s_up)
+    leaf.update(rm=jnp.asarray(rm), cc=jnp.asarray(cc), inv=jnp.asarray(inv))
+
+    x_rows = nhwc_to_rows(x_q, p // fold)
+    got = conv_prow_up2(x_rows, leaf, p, c, c_out, p_out, h, w, fold=fold,
+                        interpret=True)
+
+    qk, _ = _quant_ref(k)
+    mid_nhwc = _requant(_ref_epilogue(_ref_conv_i32(x_q, qk), leaf, c_out))
+    want = up2_mxu_reference(np.asarray(mid_nhwc), h, w, c_out, s_mid, s_up)
+
+    inv_perm = np.argsort(np.asarray(up2_perm(p_out)))
+    got = np.asarray(got).reshape(2, 2 * h, (2 * w) // p_out, p_out, c_out)
+    got = got[:, :, :, inv_perm, :].reshape(2, 2 * h, 2 * w, c_out)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,n", [(16, 2), (32, 3)])
+def test_conv_prow_up2_pack_mxu_exact(rng, h, n):
+    """The serving-tail kernel in MXU row-mix form: bit-identical to
+    up2_mxu_reference followed by the space-to-depth packing."""
+    from sifsr_tpu.pallas.conv_px import (
+        conv_prow_up2_pack, up2_coeffs_mxu, up2_mxu_reference)
+
+    p, c = 8, 32
+    s_mid, s_up = 0.15, 0.25
+    x_q, k, bias = _rand_case(rng, n, h, h, c, 16)
+    leaf = prow_leaf(k, bias, p, s_in=0.19, s_out=s_mid)
+    _, rm, cc, inv = up2_coeffs_mxu(h, h, 16, s_mid, s_up)
+    leaf.update(rm=jnp.asarray(rm), cc=jnp.asarray(cc), inv=jnp.asarray(inv))
+
+    got = conv_prow_up2_pack(nhwc_to_rows(x_q, p // 2), leaf, p, c, h,
+                             fold=2, interpret=True)
+    got = np.asarray(got).reshape(n, h, h, 64)
+
+    qk, _ = _quant_ref(k)
+    mid_nhwc = _requant(_ref_epilogue(_ref_conv_i32(x_q, qk), leaf, 16))
+    up = up2_mxu_reference(np.asarray(mid_nhwc), h, h, 16, s_mid, s_up)
+    want = up.reshape(n, h, 2, h, 2, 16).transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h, h, 64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_up2_mxu_matches_vpu_within_quantum(rng):
+    """The two up2 factorizations compute the same rational interpolation
+    with different rounding chains: outputs agree within 1 int8 quantum
+    (the MXU form rounds exactly once and is the more accurate one)."""
+    from sifsr_tpu.pallas.conv_px import up2_coeffs_mxu, up2_mxu_reference
+    from sifsr_tpu.pallas.resize_phases import phases_to_nhwc, upsample_phases
+
+    h = w = 16
+    s_mid, s_up = 0.11, 0.23
+    mid = rng.integers(-127, 128, (2, h, w, 8), dtype=np.int8)
+    vpu = np.asarray(phases_to_nhwc(upsample_phases(
+        jnp.asarray(mid), 2, "linear_ac", out_dtype=jnp.int8, scale=s_up,
+        in_scale=s_mid, interpret=True)))
+    mxu = up2_mxu_reference(mid, h, w, 8, s_mid, s_up)
+    assert np.max(np.abs(vpu.astype(int) - mxu.astype(int))) <= 1
