@@ -196,7 +196,7 @@ def _device_tiling_fn(sr_step, window: int, factor: int, gh: int, gw: int,
 _LINK_PROBE_CACHE: dict = {}
 
 
-def probe_link(refresh: bool = False, bulk_mb: int = 8):
+def probe_link(refresh: bool = False, bulk_mb: int = 32):
     """Measure the host<->device link once: dispatch round-trip latency and
     bulk h2d/d2h bandwidth. Cached per process (granule serving calls this
     once, not per granule).
@@ -275,8 +275,16 @@ def choose_granule_mode(lst_shape, window: int, factor: int, batch_size: int,
     t_hp = (max(t_up, t_down, t_compute)
             + (t_up + t_down) / max(n_batches, 1)
             + t_host + n_batches * link["rtt_s"])
+    # Tie-break in favour of the pipeline: the two regimes this decision
+    # separates differ by ~100x in link bandwidth, so a genuine
+    # device_tiling link predicts a LARGE win. Predictions within 25% are
+    # model-error territory (bench r5 observed the probe's burst bandwidth
+    # overestimating the sustained tunnel rate ~4x, flipping a ~5%
+    # predicted win into a measured 15% loss), and the pipeline degrades
+    # gracefully (wall ~ max(transfer, compute)) while device_tiling's is
+    # a strict sum.
     decision = {
-        "mode": "device_tiling" if t_dt < t_hp else "host_pipeline",
+        "mode": "device_tiling" if t_dt < 0.75 * t_hp else "host_pipeline",
         "t_device_tiling_s": round(t_dt, 4),
         "t_host_pipeline_s": round(t_hp, 4),
         "rtt_s": round(link["rtt_s"], 5),
