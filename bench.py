@@ -335,8 +335,13 @@ def bench_granule(ctx):
                         best_rep = min(best_rep, time.perf_counter() - t0)
                     modes[name] = best_rep  # fastest rep: device time is
                     # deterministic, the min strips tunnel/host noise
-                except TypeError:
-                    # older predict_granule without mode= (auto not present)
+                except Exception as exc:
+                    # per-mode isolation: a transient tunnel/compile failure
+                    # on one mode (r5 warm run: 'response body closed' from
+                    # the remote-compile helper) must not lose the other
+                    # modes' measurements
+                    print(f"granule mode {name} failed: {exc}",
+                          file=sys.stderr)
                     continue
                 # emit after EVERY mode: a later mode wedging inside an
                 # uninterruptible compile must not lose the measured ones

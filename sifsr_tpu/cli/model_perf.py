@@ -51,7 +51,7 @@ def _load_calibration_pairs(dataset: str, n: int = 32):
 def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: bool = False,
                dms_moving_window: int = 0, serving: str = "f32",
                dataset: str | None = None, calib_pairs: int = 32,
-               calib_quantile: float | None = None):
+               calib_quantile: float | None = None, up2_impl: str = "mxu"):
     """Build sr_fn(lst Kelvin (64,64), ndvi (256,256)) -> (256,256) Kelvin.
 
     serving (modelB only): 'f32' reference path, or a fast serving path —
@@ -157,7 +157,7 @@ def make_sr_fn(sr_type: str, model_dir: str, statistics: str, scale_invariance: 
 
             params = build_pallas_serving_params(
                 variables, cal_lst, cal_ndvi, stats,
-                calib_quantile=calib_quantile)
+                calib_quantile=calib_quantile, up2_impl=up2_impl)
             step = make_pallas_sr_step(
                 stats, mid="prow" if serving == "prow" else "xla")
 
@@ -228,6 +228,11 @@ def main(argv=None):
                         help="DMS movingWindowSize in coarse px (0 = the "
                              "reference's patch-eval config; >0 enables the "
                              "Gao 2012 local regressors)")
+    parser.add_argument("--up2-impl", default="mxu", choices=["mxu", "vpu"],
+                        help="pallas/prow only: fused-x2 upsample "
+                             "factorization — 'mxu' integer-exact row-mix "
+                             "(round-5 default), 'vpu' the round-3/4 "
+                             "stencil form (bit-replays pre-r5 artifacts)")
     parser.add_argument("--serving", default="f32", choices=SERVING_PATHS,
                         help="modelB serving path: f32 reference, bf16 "
                              "(BN-folded, the serve daemon default), or a "
@@ -269,7 +274,8 @@ def main(argv=None):
                        serving=args.serving, dataset=args.dataset,
                        calib_pairs=args.calib_pairs,
                        calib_quantile=(None if args.calib_quantile >= 1.0
-                                       else args.calib_quantile))
+                                       else args.calib_quantile),
+                       up2_impl=args.up2_impl)
     lpips = LPIPS(args.vgg16_weights, args.lpips_weights)
     if not lpips.available:
         print("LPIPS weights not found offline — LPIPS column will be NaN")

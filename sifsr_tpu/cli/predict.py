@@ -50,7 +50,8 @@ def load_variables(model_dir: str, model_name: str, model: ModelB2):
 
 
 def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool,
-                        calib_quantile: float | None = None):
+                        calib_quantile: float | None = None,
+                        up2_impl: str = "mxu"):
     """Build the int8 (XLA) or pallas serving step, statically calibrated on
     up to 8 fully-valid 64x64 blocks of the given granule. Shared by the
     predict CLI and the serving daemon.
@@ -79,7 +80,7 @@ def make_quantized_step(variables, lst, ndvi, stats, use_pallas: bool,
 
         qparams = build_pallas_serving_params(
             variables, lst_b[sel], ndvi_b[sel], stats,
-            calib_quantile=calib_quantile)
+            calib_quantile=calib_quantile, up2_impl=up2_impl)
         return make_pallas_sr_step(stats), qparams
     from sifsr_tpu.models.quantized import (
         calibrate_activation_scales,
@@ -196,6 +197,10 @@ def main(argv=None):
     parser.add_argument("--pallas", action="store_true",
                         help="fused Pallas pair-conv int8 serving (the fastest "
                              "path; granule-self-calibrated like --int8)")
+    parser.add_argument("--up2-impl", default="mxu", choices=["mxu", "vpu"],
+                        help="--pallas only: fused-x2 upsample factorization "
+                             "('mxu' integer-exact row-mix, the round-5 "
+                             "default; 'vpu' bit-replays pre-r5 rasters)")
     parser.add_argument("--calib-quantile", type=float, default=None,
                         help="int8/pallas: clip activation scales to this "
                              "|x|-quantile over the calibration blocks "
@@ -226,7 +231,8 @@ def main(argv=None):
     if args.int8 or args.pallas:
         # quantize + calibrate on a sample of the granule's own valid blocks
         step, qparams = make_quantized_step(variables, lst, ndvi, stats, args.pallas,
-                                            calib_quantile=args.calib_quantile)
+                                            calib_quantile=args.calib_quantile,
+                                            up2_impl=args.up2_impl)
         # coverage=0: quantized paths zero any block containing invalid
         # (0 K) pixels, as the inline loop always did
         mosaic = predict_granule(
