@@ -199,6 +199,22 @@ def test_choose_granule_mode_link_regimes():
     assert d_pcie["t_device_tiling_s"] < d_pcie["t_host_pipeline_s"]
 
 
+def test_choose_granule_mode_burst_probe_tie_break():
+    """Regression (round 5): a probe that catches the tunnel's BURST rate
+    (~100 MB/s vs ~27 sustained) predicted a ~5% device_tiling win and
+    measured a 15% loss. Near-tie predictions must fall back to the
+    gracefully-degrading host pipeline; only a decisive (>25%) predicted
+    win selects device_tiling."""
+    from sifsr_tpu.inference import choose_granule_mode
+
+    burst = dict(rtt_s=27.5e-3, h2d_bytes_per_s=100.4e6,
+                 d2h_bytes_per_s=38.2e6)          # the r5 bench probe
+    d = choose_granule_mode((1200, 1200), 64, 4, 108, link=burst)
+    assert d["mode"] == "host_pipeline"
+    # prediction really is a near-tie on this probe — the margin decides
+    assert d["t_device_tiling_s"] < d["t_host_pipeline_s"]
+
+
 @pytest.mark.slow
 def test_predict_granule_mode_auto_matches_fixed(rng, tiny_setup, monkeypatch):
     """mode='auto' must produce the same mosaic as whichever fixed mode it
