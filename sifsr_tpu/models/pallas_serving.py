@@ -1,8 +1,11 @@
 """The fastest serving path: int8 + space-to-depth + exact Pallas pair-convs.
 
-Round-3 state: the ENTIRE U-Net runs as chained Pallas kernels (mid='prow',
-the default) — 10,118 patches/s wall / 10,211 device-bound at batch 384 on
-v5e, over the BASELINE.md >=10k north star. Composition:
+Round-5 state: the ENTIRE U-Net runs as chained Pallas kernels (mid='prow',
+the default) — 10,245-10,248 patches/s wall / 10,229 device-bound at batch
+384 on v5e, over the BASELINE.md >=10k north star (round 3 shipped the
+composition at 10,118; round 5 added the integer-exact MXU row-mix x2
+upsamples (up2_impl='mxu'), the int8-side ndvi space-to-depth and the
+one-concat border paste). Composition:
 
 - every 256²-resolution conv runs in Pallas with zero XLA glue:
   inbloc.conv1 as the in-kernel tap-stacked matmul over SPLIT lst/ndvi
